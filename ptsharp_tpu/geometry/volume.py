@@ -1,0 +1,199 @@
+"""Windowed iso-surface volume rendering over a scalar voxel grid.
+
+Capability parity with reference Volume.cs: a density grid built from image
+slices, a list of (lo, hi, material) transfer windows, fixed-step ray march
+with 64x refinement on window-band change (Volume.cs:169-197), gradient
+normals, nearest-window material resolution. The reference's trilinear
+sampler has an axis bug (y coordinate computed from z, Volume.cs:76-78) that
+SURVEY.md flags as behavior *not* to replicate; this implementation maps the
+volume's world AABB to grid coordinates correctly.
+
+TPU design: the march is a single `lax.while_loop` over the ray batch, the
+trilinear gather is a batched `grid[x, y, z]` advanced-index gather.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ptsharp_tpu.core import vec
+
+MARCH_STEP = 1.0 / 512.0  # reference step (Volume.cs:171)
+REFINE = 64  # refinement subdivisions (Volume.cs:183-193)
+
+
+@dataclass
+class VolumeWindow:
+    lo: float
+    hi: float
+    material_id: int
+
+
+@dataclass
+class VolumeGrid:
+    """Host volume description. data is (W, H, D) float32 in [0, 1];
+    box maps the grid onto world space."""
+
+    data: Any  # (W, H, D)
+    windows: list
+    bmin: Any
+    bmax: Any
+
+    @staticmethod
+    def from_slices(slices: np.ndarray, windows: list, bmin, bmax) -> "VolumeGrid":
+        """slices: (D, H, W) stack (e.g. CT images, red channel = density,
+        Volume.cs:48-71) -> grid indexed [x, y, z]."""
+        data = np.ascontiguousarray(np.transpose(slices, (2, 1, 0)), dtype=np.float32)
+        return VolumeGrid(data=data, windows=windows, bmin=np.asarray(bmin, np.float32),
+                          bmax=np.asarray(bmax, np.float32))
+
+
+def _grid_coords(volume: VolumeGrid, p):
+    data = jnp.asarray(volume.data)
+    w, h, d = data.shape
+    bmin = jnp.asarray(volume.bmin)
+    bmax = jnp.asarray(volume.bmax)
+    q = (p - bmin) / jnp.maximum(bmax - bmin, 1e-12)
+    return (
+        q[..., 0] * (w - 1),
+        q[..., 1] * (h - 1),
+        q[..., 2] * (d - 1),
+    )
+
+
+def sample(volume: VolumeGrid, p):
+    """Trilinear density sample at world points p (..., 3) -> (...,).
+    Out-of-box coordinates clamp to the border."""
+    data = jnp.asarray(volume.data)
+    w, h, d = data.shape
+    x, y, z = _grid_coords(volume, p)
+    x = jnp.clip(x, 0.0, w - 1.0001)
+    y = jnp.clip(y, 0.0, h - 1.0001)
+    z = jnp.clip(z, 0.0, d - 1.0001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    z0 = jnp.floor(z).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    z1 = jnp.minimum(z0 + 1, d - 1)
+    fx = x - x0
+    fy = y - y0
+    fz = z - z0
+
+    def g(i, j, k):
+        return data[i, j, k]
+
+    c00 = g(x0, y0, z0) * (1 - fx) + g(x1, y0, z0) * fx
+    c01 = g(x0, y0, z1) * (1 - fx) + g(x1, y0, z1) * fx
+    c10 = g(x0, y1, z0) * (1 - fx) + g(x1, y1, z0) * fx
+    c11 = g(x0, y1, z1) * (1 - fx) + g(x1, y1, z1) * fx
+    c0 = c00 * (1 - fy) + c10 * fy
+    c1 = c01 * (1 - fy) + c11 * fy
+    return c0 * (1 - fz) + c1 * fz
+
+
+def band_sign(volume: VolumeGrid, p):
+    """Window-band classification (Volume.Sign, Volume.cs:113-131):
+    0 = inside some window (a surface), otherwise a band index identifying
+    which gap the sample falls in."""
+    s = sample(volume, p)
+    windows = volume.windows
+    result = jnp.full(s.shape, len(windows) + 1, jnp.int32)
+    # walk windows from last to first so earlier windows take precedence
+    for i in reversed(range(len(windows))):
+        w = windows[i]
+        below = s < w.lo
+        inside = (s >= w.lo) & (s <= w.hi)
+        result = jnp.where(below, i + 1, result)
+        result = jnp.where(inside, 0, result)
+    return result
+
+
+def intersect(volume: VolumeGrid, org, dirn, t_enter, t_exit):
+    """Fixed-step march (step 1/512) with 64x refinement once the band
+    changes or a window is entered (Volume.cs:169-197). org/dirn (R, 3),
+    unit directions. Returns t (R,), INF on miss."""
+    R = org.shape[0]
+    start = jnp.maximum(MARCH_STEP, t_enter)
+    active0 = (t_exit >= t_enter) & (t_exit > 0.0)
+    fine = MARCH_STEP / REFINE
+
+    def refine(t_prev):
+        """Scan [t_prev, t_prev + step] in 64 fine steps; return first t
+        whose band-sign is 0 (else INF)."""
+        ts = t_prev + fine * (1.0 + jnp.arange(REFINE, dtype=jnp.float32))[:, None]
+        p = org[None, :, :] + dirn[None, :, :] * ts[..., None]
+        s = band_sign(volume, p.reshape(-1, 3)).reshape(REFINE, R)
+        is_hit = s == 0
+        any_hit = jnp.any(is_hit, axis=0)
+        first = jnp.argmax(is_hit, axis=0)
+        # reference reports t - fine_step (the sample just before entry)
+        t_hit = t_prev + fine * first.astype(jnp.float32)
+        return jnp.where(any_hit, t_hit, jnp.full(R, vec.INF)), any_hit
+
+    def cond(state):
+        _, _, active, _ = state
+        return jnp.any(active)
+
+    def body(state):
+        t, prev_sign, active, hit_t = state
+        p = org + dirn * t[..., None]
+        s = band_sign(volume, p)
+        crossed = (s == 0) | ((prev_sign >= 0) & (s != prev_sign))
+        need_refine = active & crossed
+        ref_t, ref_ok = refine(t - MARCH_STEP)
+        hit_now = need_refine & ref_ok
+        hit_t = jnp.where(hit_now, ref_t, hit_t)
+        active = active & ~hit_now & ~(need_refine & ~ref_ok & (s == 0))
+        new_t = t + MARCH_STEP
+        out = new_t > t_exit
+        active = active & ~out
+        return new_t, jnp.where(active, s, prev_sign), active, hit_t
+
+    init = (
+        start,
+        jnp.full(R, -1, jnp.int32),
+        active0,
+        jnp.full(R, vec.INF, jnp.float32),
+    )
+    _, _, _, hit_t = jax.lax.while_loop(cond, body, init)
+    return hit_t
+
+
+def normal_at(volume: VolumeGrid, p, eps: float = 1e-3):
+    """Density-gradient normal (Volume.NormalAt, Volume.cs:138-145)."""
+    ex = jnp.array([eps, 0.0, 0.0], jnp.float32)
+    ey = jnp.array([0.0, eps, 0.0], jnp.float32)
+    ez = jnp.array([0.0, 0.0, eps], jnp.float32)
+    n = jnp.stack(
+        [
+            sample(volume, p - ex) - sample(volume, p + ex),
+            sample(volume, p - ey) - sample(volume, p + ey),
+            sample(volume, p - ez) - sample(volume, p + ez),
+        ],
+        axis=-1,
+    )
+    return vec.normalize(n)
+
+
+def material_at(volume: VolumeGrid, p):
+    """Nearest-window material id (Volume.MaterialAt, Volume.cs:147-167)."""
+    s = sample(volume, p)
+    windows = volume.windows
+    best_e = jnp.full(s.shape, 1e9, jnp.float32)
+    best_m = jnp.zeros(s.shape, jnp.int32)
+    for w in windows:
+        e = jnp.minimum(jnp.abs(s - w.lo), jnp.abs(s - w.hi))
+        better = e < best_e
+        best_e = jnp.where(better, e, best_e)
+        best_m = jnp.where(better, w.material_id, best_m)
+    # containing window wins; first window takes precedence on overlap
+    for w in reversed(windows):
+        inside = (s >= w.lo) & (s <= w.hi)
+        best_m = jnp.where(inside, w.material_id, best_m)
+    return best_m

@@ -1,0 +1,456 @@
+"""Host scene builder -> frozen device SceneData.
+
+The reference's Scene (Scene.cs) is a registry of IShape objects compiled
+into a pointer k-d tree; intersection is virtual dispatch per shape. Here
+`SceneBuilder` collects typed primitive descriptions on the host and
+`build()` flattens them into `SceneData`: one SoA device table per primitive
+type, a flattened wide-leaf BVH over all mesh triangles, an instance table
+(the TransformedShape mechanism, TransformedShape.cs:19-72), a material
+table, a texture atlas, and a light table for NEE (Scene.cs:29-38 auto
+light classification).
+
+SceneData is a registered dataclass pytree: array fields are jit-traced
+(so materials/emitters stay differentiable and updatable without
+recompiling), while structural metadata (SDF trees, volume grids, static
+flags) ride as static aux data — changing scene *structure* retraces,
+changing scene *parameters* does not.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field, replace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ptsharp_tpu.accel import bvh as bvh_mod
+from ptsharp_tpu.geometry.mesh import TriMesh
+from ptsharp_tpu.materials import Material, MaterialTable
+from ptsharp_tpu.textures import TextureAtlas
+
+# primitive type codes in hit records
+PT_NONE = 0
+PT_SPHERE = 1
+PT_PLANE = 2
+PT_CUBE = 3
+PT_CYLINDER = 4
+PT_TRIANGLE = 5
+PT_SDF = 6
+PT_VOLUME = 7
+
+_DATA_FIELDS = [
+    "sphere_center", "sphere_radius", "sphere_inv", "sphere_world", "sphere_mat",
+    "plane_point", "plane_normal", "plane_mat",
+    "cube_min", "cube_max", "cube_inv", "cube_world", "cube_mat",
+    "cyl_radius", "cyl_z0", "cyl_z1", "cyl_inv", "cyl_world", "cyl_mat",
+    "node_bmin", "node_bmax", "node_first", "node_count", "node_skip",
+    "tri_v0", "tri_e1", "tri_e2",
+    "tri_n0", "tri_n1", "tri_n2",
+    "tri_uv0", "tri_uv1", "tri_uv2", "tri_mat",
+    "inst_inv", "inst_world", "inst_node_base", "inst_node_end", "inst_mat",
+    "light_ptype", "light_pindex", "light_center", "light_radius", "light_mat",
+    "materials", "textures",
+    "env_color", "texture_angle",
+]
+_META_FIELDS = [
+    "sdf_objects", "volumes", "sphere_xform", "cube_xform", "cyl_xform",
+    "max_leaf", "env_texture",
+]
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=_DATA_FIELDS,
+    meta_fields=_META_FIELDS,
+)
+@dataclass(frozen=True)
+class SceneData:
+    # spheres (object space center/radius + optional affine)
+    sphere_center: jnp.ndarray
+    sphere_radius: jnp.ndarray
+    sphere_inv: jnp.ndarray    # (S, 3, 4) world->object
+    sphere_world: jnp.ndarray  # (S, 3, 4) object->world
+    sphere_mat: jnp.ndarray
+    # infinite planes
+    plane_point: jnp.ndarray
+    plane_normal: jnp.ndarray
+    plane_mat: jnp.ndarray
+    # axis boxes
+    cube_min: jnp.ndarray
+    cube_max: jnp.ndarray
+    cube_inv: jnp.ndarray
+    cube_world: jnp.ndarray
+    cube_mat: jnp.ndarray
+    # capped z-cylinders
+    cyl_radius: jnp.ndarray
+    cyl_z0: jnp.ndarray
+    cyl_z1: jnp.ndarray
+    cyl_inv: jnp.ndarray
+    cyl_world: jnp.ndarray
+    cyl_mat: jnp.ndarray
+    # flattened BVH over all mesh triangles (concatenated per-mesh blocks)
+    node_bmin: jnp.ndarray
+    node_bmax: jnp.ndarray
+    node_first: jnp.ndarray
+    node_count: jnp.ndarray
+    node_skip: jnp.ndarray
+    # BVH-sorted triangle soup + attributes
+    tri_v0: jnp.ndarray
+    tri_e1: jnp.ndarray
+    tri_e2: jnp.ndarray
+    tri_n0: jnp.ndarray
+    tri_n1: jnp.ndarray
+    tri_n2: jnp.ndarray
+    tri_uv0: jnp.ndarray
+    tri_uv1: jnp.ndarray
+    tri_uv2: jnp.ndarray
+    tri_mat: jnp.ndarray
+    # mesh instances (identity transform for plain meshes)
+    inst_inv: jnp.ndarray      # (I, 3, 4)
+    inst_world: jnp.ndarray    # (I, 3, 4)
+    inst_node_base: jnp.ndarray
+    inst_node_end: jnp.ndarray
+    inst_mat: jnp.ndarray      # material override, -1 = per-triangle
+    # light table for NEE
+    light_ptype: jnp.ndarray
+    light_pindex: jnp.ndarray
+    light_center: jnp.ndarray
+    light_radius: jnp.ndarray
+    light_mat: jnp.ndarray
+    # materials / textures / environment
+    materials: MaterialTable
+    textures: TextureAtlas
+    env_color: jnp.ndarray
+    texture_angle: jnp.ndarray
+    # --- static metadata ---
+    sdf_objects: tuple  # tuple of (Sdf, mat_id, bmin_tuple, bmax_tuple)
+    volumes: tuple      # tuple of VolumeGrid (identity-hashed)
+    sphere_xform: bool
+    cube_xform: bool
+    cyl_xform: bool
+    max_leaf: int
+    env_texture: int
+
+    @property
+    def num_lights(self) -> int:
+        return self.light_mat.shape[0]
+
+
+def _affine(m: np.ndarray) -> np.ndarray:
+    return np.asarray(m, np.float32)[:3, :4]
+
+
+_IDENTITY34 = np.eye(4, dtype=np.float32)[:3, :4]
+
+
+class SceneBuilder:
+    """Collects shapes + materials on the host; `build()` freezes them into
+    device arrays. Emissive shapes are auto-registered as NEE lights
+    (Scene.cs:29-38)."""
+
+    def __init__(self):
+        self._materials: list[Material] = []
+        self._mat_ids: dict[Material, int] = {}
+        self._spheres = []   # (center, radius, inv, world, mat)
+        self._planes = []
+        self._cubes = []
+        self._cyls = []
+        self._meshes: list[tuple[TriMesh, int]] = []  # (mesh, default mat)
+        self._instances = []  # (mesh_idx, inv, world, mat_override)
+        self._sdfs = []
+        self._volumes = []
+        self._lights = []     # (ptype, pindex, center, radius, mat)
+        self._textures: list[np.ndarray] = []
+        self.env_color = np.zeros(3, np.float32)
+        self.env_texture = -1
+        self.texture_angle = 0.0
+
+    # -- materials / textures ---------------------------------------------
+
+    def material_id(self, m: Material) -> int:
+        if m not in self._mat_ids:
+            self._mat_ids[m] = len(self._materials)
+            self._materials.append(m)
+        return self._mat_ids[m]
+
+    def add_texture(self, image: np.ndarray) -> int:
+        """Register an (H, W, 3) linear-RGB image; returns its atlas id."""
+        self._textures.append(np.asarray(image, np.float32))
+        return len(self._textures) - 1
+
+    def set_environment(self, color=None, texture_id: int = -1, angle: float = 0.0):
+        if color is not None:
+            self.env_color = np.asarray(color, np.float32)
+        self.env_texture = texture_id
+        self.texture_angle = float(angle)
+
+    # -- shapes ------------------------------------------------------------
+
+    def _register_light(self, ptype, pindex, center, radius, mat_id, m: Material):
+        if m.emittance > 0:
+            self._lights.append((ptype, pindex, np.asarray(center, np.float32),
+                                 float(radius), mat_id))
+
+    def add_sphere(self, center, radius, material: Material, transform=None) -> int:
+        mid = self.material_id(material)
+        center = np.asarray(center, np.float32)
+        inv, world = _IDENTITY34, _IDENTITY34
+        wcenter, wradius = center, radius
+        if transform is not None:
+            t = np.asarray(transform, np.float32)
+            inv, world = _affine(np.linalg.inv(t)), _affine(t)
+            wcenter = t[:3, :3] @ center + t[:3, 3]
+            wradius = radius * float(np.linalg.norm(t[:3, :3], 2))
+        idx = len(self._spheres)
+        self._spheres.append((center, float(radius), inv, world, mid))
+        self._register_light(PT_SPHERE, idx, wcenter, wradius, mid, material)
+        return idx
+
+    def add_plane(self, point, normal, material: Material) -> int:
+        mid = self.material_id(material)
+        idx = len(self._planes)
+        n = np.asarray(normal, np.float32)
+        n = n / max(np.linalg.norm(n), 1e-20)
+        self._planes.append((np.asarray(point, np.float32), n, mid))
+        # planes as lights are degenerate; reference uses bbox outer radius
+        self._register_light(PT_PLANE, idx, point, 1e9, mid, material)
+        return idx
+
+    def add_cube(self, bmin, bmax, material: Material, transform=None) -> int:
+        mid = self.material_id(material)
+        bmin = np.asarray(bmin, np.float32)
+        bmax = np.asarray(bmax, np.float32)
+        inv, world = _IDENTITY34, _IDENTITY34
+        center = 0.5 * (bmin + bmax)
+        radius = 0.5 * float(np.linalg.norm(bmax - bmin))
+        if transform is not None:
+            t = np.asarray(transform, np.float32)
+            inv, world = _affine(np.linalg.inv(t)), _affine(t)
+            center = t[:3, :3] @ center + t[:3, 3]
+            radius *= float(np.linalg.norm(t[:3, :3], 2))
+        idx = len(self._cubes)
+        self._cubes.append((bmin, bmax, inv, world, mid))
+        self._register_light(PT_CUBE, idx, center, radius, mid, material)
+        return idx
+
+    def add_cylinder(self, radius, z0, z1, material: Material, transform=None) -> int:
+        """Z-axis capped cylinder; pass `transform` for arbitrary placement
+        (NewTransformedCylinder, Cylinder.cs:21-35)."""
+        mid = self.material_id(material)
+        inv, world = _IDENTITY34, _IDENTITY34
+        center = np.array([0.0, 0.0, (z0 + z1) / 2.0], np.float32)
+        rad = float(np.hypot(radius, (z1 - z0) / 2.0))
+        if transform is not None:
+            t = np.asarray(transform, np.float32)
+            inv, world = _affine(np.linalg.inv(t)), _affine(t)
+            center = t[:3, :3] @ center + t[:3, 3]
+            rad *= float(np.linalg.norm(t[:3, :3], 2))
+        idx = len(self._cyls)
+        self._cyls.append((float(radius), float(z0), float(z1), inv, world, mid))
+        self._register_light(PT_CYLINDER, idx, center, rad, mid, material)
+        return idx
+
+    def add_mesh(self, mesh: TriMesh, material: Material | None = None,
+                 transform=None) -> int:
+        """Add a mesh; returns mesh id usable with add_mesh_instance.
+        material=None keeps per-triangle materials (OBJ with MTL); else all
+        triangles use `material`."""
+        mid = -1 if material is None else self.material_id(material)
+        mesh_idx = len(self._meshes)
+        self._meshes.append((mesh, mid))
+        self.add_mesh_instance(mesh_idx, transform=transform, material=material)
+        return mesh_idx
+
+    def add_mesh_instance(self, mesh_idx: int, transform=None,
+                          material: Material | None = None) -> int:
+        over = -1 if material is None else self.material_id(material)
+        inv, world = _IDENTITY34, _IDENTITY34
+        if transform is not None:
+            t = np.asarray(transform, np.float32)
+            inv, world = _affine(np.linalg.inv(t)), _affine(t)
+        idx = len(self._instances)
+        self._instances.append((mesh_idx, inv, world, over))
+        mesh, def_mid = self._meshes[mesh_idx]
+        mat = material if material is not None else (
+            self._materials[def_mid] if def_mid >= 0 else None
+        )
+        if mat is not None and mat.emittance > 0:
+            lo, hi = mesh.bounds()
+            center = 0.5 * (lo + hi)
+            radius = 0.5 * float(np.linalg.norm(hi - lo))
+            if transform is not None:
+                t = np.asarray(transform, np.float32)
+                center = t[:3, :3] @ center + t[:3, 3]
+                radius *= float(np.linalg.norm(t[:3, :3], 2))
+            # mesh lights are identified by instance id in the hit record
+            self._lights.append((PT_TRIANGLE, idx, center, radius,
+                                 self.material_id(mat)))
+        return idx
+
+    def add_sdf(self, sdf, material: Material) -> int:
+        mid = self.material_id(material)
+        idx = len(self._sdfs)
+        lo, hi = sdf.bounds()
+        self._sdfs.append((sdf, mid, tuple(map(float, lo)), tuple(map(float, hi))))
+        if material.emittance > 0:
+            center = 0.5 * (np.asarray(lo) + np.asarray(hi))
+            radius = 0.5 * float(np.linalg.norm(np.asarray(hi) - np.asarray(lo)))
+            self._lights.append((PT_SDF, idx, center.astype(np.float32), radius, mid))
+        return idx
+
+    def add_volume(self, volume) -> int:
+        """volume: geometry.volume.VolumeGrid whose windows carry material
+        *ids* already registered via material_id()."""
+        self._volumes.append(volume)
+        return len(self._volumes) - 1
+
+    # -- freeze ------------------------------------------------------------
+
+    def build(self, leaf_size: int = 8) -> SceneData:
+        f32 = jnp.float32
+        i32 = jnp.int32
+
+        def soa(rows, idx, shape, dtype=np.float32):
+            if rows:
+                return jnp.asarray(np.stack([np.asarray(r[idx], dtype) for r in rows]))
+            return jnp.zeros((0,) + shape, dtype)
+
+        # --- meshes: concatenate, build one BVH per mesh, concat nodes ----
+        node_bmin = []
+        node_bmax = []
+        node_first = []
+        node_count = []
+        node_skip = []
+        tri_v = []
+        tri_n = []
+        tri_uv = []
+        tri_mat = []
+        mesh_node_range = []  # per mesh: (base, end)
+        tri_offset = 0
+        node_offset = 0
+        for mesh, def_mid in self._meshes:
+            mesh = mesh.fix_normals()
+            v = mesh.v
+            lo = np.minimum(np.minimum(v[:, 0], v[:, 1]), v[:, 2])
+            hi = np.maximum(np.maximum(v[:, 0], v[:, 1]), v[:, 2])
+            flat = bvh_mod.build(lo, hi, leaf_size=leaf_size)
+            order = flat.order
+            tri_v.append(v[order])
+            tri_n.append(mesh.n[order])
+            tri_uv.append(mesh.uv[order])
+            if mesh.mat is not None and def_mid < 0:
+                tm = mesh.mat  # per-triangle materials (OBJ/MTL)
+            else:
+                tm = np.full(v.shape[0], max(def_mid, 0), np.int32)
+            tri_mat.append(tm[order])
+            node_bmin.append(flat.bmin)
+            node_bmax.append(flat.bmax)
+            node_first.append(flat.first + tri_offset)
+            node_count.append(flat.count)
+            node_skip.append(flat.skip + node_offset)
+            mesh_node_range.append((node_offset, node_offset + flat.bmin.shape[0]))
+            tri_offset += v.shape[0]
+            node_offset += flat.bmin.shape[0]
+
+        if self._meshes:
+            tv = np.concatenate(tri_v)
+            tn = np.concatenate(tri_n)
+            tuv = np.concatenate(tri_uv)
+            tmat = np.concatenate(tri_mat)
+            # pad by leaf_size so fixed-width leaf gathers never run off
+            pad = leaf_size
+            tv = np.concatenate([tv, np.zeros((pad, 3, 3), np.float32)])
+            tn = np.concatenate([tn, np.zeros((pad, 3, 3), np.float32)])
+            tuv = np.concatenate([tuv, np.zeros((pad, 3, 2), np.float32)])
+            tmat = np.concatenate([tmat, np.zeros(pad, np.int32)])
+            v0, v1, v2 = tv[:, 0], tv[:, 1], tv[:, 2]
+            nodes = (
+                np.concatenate(node_bmin),
+                np.concatenate(node_bmax),
+                np.concatenate(node_first),
+                np.concatenate(node_count),
+                np.concatenate(node_skip),
+            )
+        else:
+            v0 = v1 = v2 = np.zeros((0, 3), np.float32)
+            tn = np.zeros((0, 3, 3), np.float32)
+            tuv = np.zeros((0, 3, 2), np.float32)
+            tmat = np.zeros(0, np.int32)
+            nodes = (
+                np.zeros((0, 3), np.float32),
+                np.zeros((0, 3), np.float32),
+                np.zeros(0, np.int32),
+                np.zeros(0, np.int32),
+                np.zeros(0, np.int32),
+            )
+
+        inst_rows = []
+        for mesh_idx, inv, world, over in self._instances:
+            base, end = mesh_node_range[mesh_idx]
+            inst_rows.append((inv, world, base, end, over))
+
+        sphere_x = any(
+            not np.array_equal(s[2], _IDENTITY34) for s in self._spheres
+        )
+        cube_x = any(not np.array_equal(c[2], _IDENTITY34) for c in self._cubes)
+        cyl_x = any(not np.array_equal(c[3], _IDENTITY34) for c in self._cyls)
+
+        return SceneData(
+            sphere_center=soa(self._spheres, 0, (3,)),
+            sphere_radius=soa(self._spheres, 1, ()),
+            sphere_inv=soa(self._spheres, 2, (3, 4)),
+            sphere_world=soa(self._spheres, 3, (3, 4)),
+            sphere_mat=soa(self._spheres, 4, (), np.int32),
+            plane_point=soa(self._planes, 0, (3,)),
+            plane_normal=soa(self._planes, 1, (3,)),
+            plane_mat=soa(self._planes, 2, (), np.int32),
+            cube_min=soa(self._cubes, 0, (3,)),
+            cube_max=soa(self._cubes, 1, (3,)),
+            cube_inv=soa(self._cubes, 2, (3, 4)),
+            cube_world=soa(self._cubes, 3, (3, 4)),
+            cube_mat=soa(self._cubes, 4, (), np.int32),
+            cyl_radius=soa(self._cyls, 0, ()),
+            cyl_z0=soa(self._cyls, 1, ()),
+            cyl_z1=soa(self._cyls, 2, ()),
+            cyl_inv=soa(self._cyls, 3, (3, 4)),
+            cyl_world=soa(self._cyls, 4, (3, 4)),
+            cyl_mat=soa(self._cyls, 5, (), np.int32),
+            node_bmin=jnp.asarray(nodes[0]),
+            node_bmax=jnp.asarray(nodes[1]),
+            node_first=jnp.asarray(nodes[2]),
+            node_count=jnp.asarray(nodes[3]),
+            node_skip=jnp.asarray(nodes[4]),
+            tri_v0=jnp.asarray(v0),
+            tri_e1=jnp.asarray(v1 - v0),
+            tri_e2=jnp.asarray(v2 - v0),
+            tri_n0=jnp.asarray(tn[:, 0] if tn.size else tn.reshape(0, 3)),
+            tri_n1=jnp.asarray(tn[:, 1] if tn.size else tn.reshape(0, 3)),
+            tri_n2=jnp.asarray(tn[:, 2] if tn.size else tn.reshape(0, 3)),
+            tri_uv0=jnp.asarray(tuv[:, 0] if tuv.size else tuv.reshape(0, 2)),
+            tri_uv1=jnp.asarray(tuv[:, 1] if tuv.size else tuv.reshape(0, 2)),
+            tri_uv2=jnp.asarray(tuv[:, 2] if tuv.size else tuv.reshape(0, 2)),
+            tri_mat=jnp.asarray(tmat),
+            inst_inv=soa(inst_rows, 0, (3, 4)),
+            inst_world=soa(inst_rows, 1, (3, 4)),
+            inst_node_base=soa(inst_rows, 2, (), np.int32),
+            inst_node_end=soa(inst_rows, 3, (), np.int32),
+            inst_mat=soa(inst_rows, 4, (), np.int32),
+            light_ptype=soa(self._lights, 0, (), np.int32),
+            light_pindex=soa(self._lights, 1, (), np.int32),
+            light_center=soa(self._lights, 2, (3,)),
+            light_radius=soa(self._lights, 3, ()),
+            light_mat=soa(self._lights, 4, (), np.int32),
+            materials=MaterialTable.build(self._materials),
+            textures=TextureAtlas.build(self._textures),
+            env_color=jnp.asarray(self.env_color),
+            texture_angle=jnp.float32(self.texture_angle),
+            sdf_objects=tuple(self._sdfs),
+            volumes=tuple(self._volumes),
+            sphere_xform=sphere_x,
+            cube_xform=cube_x,
+            cyl_xform=cyl_x,
+            max_leaf=leaf_size,
+            env_texture=self.env_texture,
+        )
