@@ -52,6 +52,13 @@ def traverse(
     Returns (t, tri_idx, u, v): t = INF and tri_idx = -1 on miss; tri_idx
     indexes the *sorted* triangle arrays.
     """
+    # while_loop is not reverse-differentiable: detach ray geometry here.
+    # Gradients flow through shading (material/emitter params), not through
+    # the discrete traversal — the detached-sampling estimator SURVEY.md §7
+    # calls for.
+    org = jax.lax.stop_gradient(org)
+    dirn = jax.lax.stop_gradient(dirn)
+    t_max = jax.lax.stop_gradient(t_max)
     r = org.shape[0]
     leaf = mesh.max_leaf
     inv_d = 1.0 / jnp.where(jnp.abs(dirn) < 1e-30, jnp.where(dirn < 0, -1e-30, 1e-30), dirn)

@@ -1,0 +1,344 @@
+"""Scene catalog — the acceptance suite mirroring reference Example.cs.
+
+Each builder returns (scene, camera, render_config, integrator_config).
+Scenes cite their reference counterpart; BASELINE.json's five configs map to
+simple_sphere (#1), cornell (#2), mesh/bunny (#3), sdf_scene + ellipsoid
+(#4), volume_scene (#5).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ptsharp_tpu.camera import Camera
+from ptsharp_tpu.core import color as colorlib
+from ptsharp_tpu.core import transform
+from ptsharp_tpu.geometry import sdf as sdf_mod
+from ptsharp_tpu.geometry import volume as vol_mod
+from ptsharp_tpu.geometry.mesh import TriMesh, cube_mesh, sphere_mesh
+from ptsharp_tpu.integrator import (
+    LIGHT_MODE_ALL,
+    LIGHT_MODE_RANDOM,
+    IntegratorConfig,
+    SPECULAR_MODE_FIRST,
+)
+from ptsharp_tpu.materials import (
+    clear_material,
+    diffuse_material,
+    glossy_material,
+    light_material,
+    metallic_material,
+    specular_material,
+    transparent_material,
+)
+from ptsharp_tpu.renderer import RenderConfig
+from ptsharp_tpu.scene import SceneBuilder
+
+CATALOG = {}
+
+
+def example(name):
+    def deco(fn):
+        CATALOG[name] = fn
+        return fn
+
+    return deco
+
+
+@example("simple_sphere")
+def simple_sphere(width=256, height=256):
+    """BASELINE config #1: diffuse sphere + ground plane + sphere light
+    (reference simplesphere, Example.cs:1670)."""
+    b = SceneBuilder()
+    b.add_sphere([0, 1, 0], 1.0, diffuse_material([0.65, 0.22, 0.18]))
+    b.add_plane([0, 0, 0], [0, 1, 0], diffuse_material([0.8, 0.8, 0.8]))
+    b.add_sphere([3, 6, -3], 1.5, light_material([1, 1, 1], 8.0))
+    b.set_environment(color=[0.08, 0.09, 0.12])
+    scene = b.build()
+    cam = Camera.look_at([0, 2, -6], [0, 1, 0], [0, 1, 0], 40.0)
+    return scene, cam, RenderConfig(width=width, height=height, spp=16), \
+        IntegratorConfig(max_bounces=3)
+
+
+@example("cornell")
+def cornell(width=512, height=512):
+    """BASELINE config #2: Cornell-style box, area-light NEE, specular +
+    refractive spheres, Russian roulette."""
+    red = diffuse_material([0.63, 0.065, 0.05])
+    green = diffuse_material([0.14, 0.45, 0.091])
+    white = diffuse_material([0.725, 0.71, 0.68])
+    b = SceneBuilder()
+    s = 2.0  # half-size of the box
+    b.add_plane([-s, 0, 0], [1, 0, 0], red)     # left wall
+    b.add_plane([s, 0, 0], [-1, 0, 0], green)   # right wall
+    b.add_plane([0, 0, 0], [0, 1, 0], white)    # floor
+    b.add_plane([0, 2 * s, 0], [0, -1, 0], white)  # ceiling
+    b.add_plane([0, 0, s], [0, 0, -1], white)   # back wall
+    # area light: emissive sphere poking through the ceiling
+    b.add_sphere([0, 2 * s + 0.85, 0], 1.0, light_material([1, 1, 1], 14.0))
+    # mirror and glass spheres
+    b.add_sphere([-0.9, 0.75, 0.6], 0.75, metallic_material([0.95, 0.95, 0.95], 0.0, 0.9))
+    b.add_sphere([0.9, 0.65, -0.4], 0.65, clear_material(1.5, 0.0))
+    scene = b.build()
+    cam = Camera.look_at([0, 2.0, -6.5], [0, 2.0, 0], [0, 1, 0], 40.0)
+    return scene, cam, RenderConfig(width=width, height=height, spp=16), \
+        IntegratorConfig(max_bounces=5, russian_roulette=True, rr_start_depth=2)
+
+
+@example("material_spheres")
+def material_spheres(width=512, height=384):
+    """All 7 material archetypes on one stage (reference materialspheres,
+    Example.cs:1204-1227)."""
+    b = SceneBuilder()
+    b.add_plane([0, 0, 0], [0, 1, 0], diffuse_material([0.75, 0.75, 0.75]))
+    mats = [
+        diffuse_material(colorlib.hex_color(0x334D5C)),
+        specular_material(colorlib.hex_color(0x334D5C), 2.0),
+        glossy_material(colorlib.hex_color(0x334D5C), 2.0, math.radians(50)),
+        transparent_material(colorlib.hex_color(0x334D5C), 2.0, math.radians(20), 1.0),
+        clear_material(2.0, 0.0),
+        metallic_material(colorlib.hex_color(0xD1B897), math.radians(10), 0.8),
+        light_material([1.0, 1.0, 1.0], 2.0),
+    ]
+    for i, m in enumerate(mats):
+        x = (i - 3) * 2.2
+        b.add_sphere([x, 1.0, 0.0], 1.0, m)
+    b.add_sphere([0, 12, -6], 3.0, light_material([1, 1, 1], 10.0))
+    b.set_environment(color=[0.06, 0.07, 0.09])
+    scene = b.build()
+    cam = Camera.look_at([0, 3.5, -12], [0, 1, 0], [0, 1, 0], 45.0)
+    return scene, cam, RenderConfig(width=width, height=height, spp=16), \
+        IntegratorConfig(max_bounces=4)
+
+
+@example("refraction")
+def refraction(width=512, height=384):
+    """Glass sphere caustic-ish demo (reference refraction,
+    Example.cs:1127-1147)."""
+    b = SceneBuilder()
+    glass = clear_material(1.5, 0.0)
+    b.add_sphere([-1.5, 1.0, 0], 1.0, glass)
+    b.add_sphere([1.5, 1.0, 0], 1.0, specular_material([0.3, 0.3, 0.9], 1.5))
+    b.add_plane([0, 0, 0], [0, 1, 0], diffuse_material([0.8, 0.8, 0.8]))
+    b.add_sphere([0, 6, -4], 1.5, light_material([1, 1, 1], 12.0))
+    b.set_environment(color=[0.1, 0.1, 0.12])
+    scene = b.build()
+    cam = Camera.look_at([0, 2.5, -7], [0, 1, 0], [0, 1, 0], 38.0)
+    return scene, cam, RenderConfig(width=width, height=height, spp=16), \
+        IntegratorConfig(max_bounces=6)
+
+
+@example("mesh")
+def mesh_scene(width=512, height=512, subdivisions=4):
+    """BASELINE config #3 stand-in: high-poly triangle mesh with flattened
+    BVH traversal (reference bunny, Example.cs:1084; the actual .obj asset
+    is not shipped — an icosphere of ~20k triangles exercises the same
+    path; `load_obj` handles real assets)."""
+    b = SceneBuilder()
+    m = sphere_mesh([0, 0, 0], 1.0, subdivisions=subdivisions)
+    m = m.fit_inside([-1, 0, -1], [1, 2, 1], [0.5, 0.0, 0.5])
+    b.add_mesh(m, glossy_material([0.7, 0.6, 0.3], 1.4, math.radians(20)))
+    b.add_plane([0, 0, 0], [0, 1, 0], diffuse_material([0.75, 0.75, 0.75]))
+    b.add_sphere([3, 6, -3], 1.5, light_material([1, 1, 1], 9.0))
+    b.set_environment(color=[0.08, 0.09, 0.12])
+    scene = b.build(leaf_size=8)
+    cam = Camera.look_at([0, 2.2, -5], [0, 1, 0], [0, 1, 0], 40.0)
+    return scene, cam, RenderConfig(width=width, height=height, spp=16), \
+        IntegratorConfig(max_bounces=3)
+
+
+@example("ellipsoid")
+def ellipsoid(width=512, height=384):
+    """Non-uniformly scaled sphere instancing (reference ellipsoid,
+    Example.cs:1104-1125) — exercises the per-primitive affine path."""
+    b = SceneBuilder()
+    wall = diffuse_material([0.8, 0.8, 0.8])
+    b.add_plane([0, 0, 0], [0, 1, 0], wall)
+    for i in range(4):
+        t = np.eye(4, dtype=np.float32)
+        ang = i * math.pi / 4
+        c, s = math.cos(ang), math.sin(ang)
+        rot = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        scl = np.diag([2.0, 0.6, 0.6]).astype(np.float32)
+        t[:3, :3] = rot @ scl
+        t[:3, 3] = [0, 0.8, 0]
+        b.add_sphere([0, 0, 0], 1.0, glossy_material([0.7, 0.2, 0.2], 1.5,
+                                                     math.radians(30)), transform=t)
+    b.add_sphere([3, 7, -3], 1.5, light_material([1, 1, 1], 10.0))
+    b.set_environment(color=[0.07, 0.08, 0.1])
+    scene = b.build()
+    cam = Camera.look_at([0, 3, -7], [0, 0.8, 0], [0, 1, 0], 35.0)
+    return scene, cam, RenderConfig(width=width, height=height, spp=16), \
+        IntegratorConfig(max_bounces=3)
+
+
+@example("sdf")
+def sdf_scene(width=512, height=384):
+    """BASELINE config #4: SDF CSG demo + depth-of-field camera
+    (reference sdf, Example.cs:1399-1425)."""
+    b = SceneBuilder()
+    shape = sdf_mod.SdfIntersection(
+        sdf_mod.SdfCube((1.6, 1.6, 1.6)),
+        sdf_mod.SdfSphere(1.05),
+    ) - sdf_mod.SdfUnion(
+        sdf_mod.SdfCylinder(0.55, 4.0),
+        sdf_mod.SdfTransform(
+            sdf_mod.SdfCylinder(0.55, 4.0),
+            np.asarray(transform.rotate(np.array([1.0, 0, 0]), math.pi / 2)),
+        ),
+        sdf_mod.SdfTransform(
+            sdf_mod.SdfCylinder(0.55, 4.0),
+            np.asarray(transform.rotate(np.array([0.0, 0, 1]), math.pi / 2)),
+        ),
+    )
+    shape = sdf_mod.SdfTransform(
+        shape,
+        np.asarray(transform.translate(np.array([0.0, 1.0, 0.0]))),
+    )
+    b.add_sdf(shape, glossy_material([0.85, 0.55, 0.15], 1.4, math.radians(25)))
+    b.add_plane([0, 0, 0], [0, 1, 0], diffuse_material([0.78, 0.78, 0.78]))
+    b.add_sphere([3, 6, -4], 1.5, light_material([1, 1, 1], 10.0))
+    b.set_environment(color=[0.08, 0.09, 0.11])
+    scene = b.build()
+    cam = Camera.look_at([2.8, 2.8, -4.5], [0, 1, 0], [0, 1, 0], 35.0)
+    cam = cam.set_focus([0.0, 1.0, 0.0], 0.06)
+    return scene, cam, RenderConfig(width=width, height=height, spp=16), \
+        IntegratorConfig(max_bounces=3)
+
+
+@example("volume")
+def volume_scene(width=384, height=384):
+    """BASELINE config #5: windowed iso-surface volume rendering over a
+    procedural density grid (reference volume, Example.cs:1427-1474, minus
+    the CT-slice asset)."""
+    n = 64
+    g = np.mgrid[0:n, 0:n, 0:n].astype(np.float32) / (n - 1) * 2.0 - 1.0
+    x, y, z = g[0], g[1], g[2]
+    # nested-shell density: radial falloff + angular ripple
+    r = np.sqrt(x**2 + y**2 + z**2)
+    density = np.clip(1.0 - r, 0, 1) + 0.12 * np.sin(6 * x) * np.sin(6 * y) * np.sin(6 * z)
+    density = np.clip(density, 0.0, 1.0)
+
+    b = SceneBuilder()
+    m_out = diffuse_material([0.9, 0.5, 0.3])
+    m_in = diffuse_material([0.3, 0.5, 0.9])
+    id_out = b.material_id(m_out)
+    id_in = b.material_id(m_in)
+    vol = vol_mod.VolumeGrid(
+        data=density,
+        windows=[
+            vol_mod.VolumeWindow(0.25, 0.6, id_out),
+            vol_mod.VolumeWindow(0.6, 1.1, id_in),
+        ],
+        bmin=np.array([-1, 0, -1], np.float32),
+        bmax=np.array([1, 2, 1], np.float32),
+    )
+    b.add_volume(vol)
+    b.add_plane([0, 0, 0], [0, 1, 0], diffuse_material([0.8, 0.8, 0.8]))
+    b.add_sphere([3, 6, -3], 1.5, light_material([1, 1, 1], 10.0))
+    b.set_environment(color=[0.09, 0.1, 0.12])
+    scene = b.build()
+    cam = Camera.look_at([0, 2.2, -4.5], [0, 1, 0], [0, 1, 0], 40.0)
+    return scene, cam, RenderConfig(width=width, height=height, spp=8), \
+        IntegratorConfig(max_bounces=2)
+
+
+@example("veach")
+def veach(width=512, height=384):
+    """Veach MIS stress scene: four lights of varying size/emittance over
+    metallic bars of varying gloss (reference veachscene,
+    Example.cs:1566-1611) — the integrator-correctness benchmark."""
+    b = SceneBuilder()
+    b.add_plane([0, 0, 0], [0, 1, 0], diffuse_material([0.6, 0.6, 0.6]))
+    b.add_plane([0, 0, 6], [0, 0, -1], diffuse_material([0.55, 0.55, 0.55]))
+    # four spherical lights: radius shrinks as emittance grows
+    lights = [
+        (2.0, 2.0, [1.0, 0.8, 0.6]),
+        (0.9, 8.0, [0.9, 1.0, 0.7]),
+        (0.35, 40.0, [0.7, 0.9, 1.0]),
+        (0.12, 300.0, [1.0, 0.7, 0.9]),
+    ]
+    for i, (rad, e, c) in enumerate(lights):
+        x = -4.5 + i * 3.0
+        b.add_sphere([x, 5.0, 3.0], rad, light_material(c, e))
+    # metallic bars with increasing roughness
+    for i in range(4):
+        gloss = math.radians([2.0, 8.0, 18.0, 32.0][i])
+        y = 0.6 + i * 0.9
+        zz = 1.0 + i * 0.8
+        b.add_cube([-1, -0.03, -0.15], [1, 0.03, 0.15],
+                   metallic_material([0.9, 0.9, 0.9], gloss, 0.9),
+                   transform=_bar_transform(y, zz))
+    b.set_environment(color=[0.03, 0.03, 0.04])
+    scene = b.build()
+    cam = Camera.look_at([0, 3.0, -8.0], [0, 2.0, 2.0], [0, 1, 0], 40.0)
+    return scene, cam, RenderConfig(width=width, height=height, spp=16), \
+        IntegratorConfig(max_bounces=4, specular_mode=SPECULAR_MODE_FIRST,
+                         light_mode=LIGHT_MODE_ALL)
+
+
+def _bar_transform(y, z):
+    t = np.eye(4, dtype=np.float32)
+    t[:3, :3] = np.diag([3.0, 1.0, 1.0]).astype(np.float32)
+    # tilt the bar toward the camera
+    ang = math.radians(-25.0)
+    c, s = math.cos(ang), math.sin(ang)
+    rot = np.array([[1, 0, 0], [0, c, -s], [0, s, c]], np.float32)
+    t[:3, :3] = rot @ t[:3, :3]
+    t[:3, 3] = [0, y, z]
+    return t
+
+
+@example("cube_field")
+def cube_field(width=512, height=384, n=12):
+    """Grid of random-height cubes (reference example3, Example.cs:387-418 —
+    the default viewport scene; exercises many-cube brute-force tables)."""
+    rng = np.random.default_rng(4)
+    b = SceneBuilder()
+    white = diffuse_material([0.75, 0.75, 0.75])
+    for i in range(-n // 2, n // 2):
+        for j in range(-n // 2, n // 2):
+            h = float(rng.uniform(0.1, 1.8))
+            b.add_cube([i, 0, j], [i + 0.92, h, j + 0.92],
+                       diffuse_material(colorlib.hex_color(
+                           [0x334D5C, 0x45B29D, 0xEFC94C, 0xE27A3F, 0xDF5A49][int(rng.integers(5))])))
+    b.add_sphere([0, 14, -6], 3.0, light_material([1, 1, 1], 8.0))
+    b.set_environment(color=[0.1, 0.12, 0.15])
+    scene = b.build()
+    cam = Camera.look_at([-7, 8, -10], [0, 0, 0], [0, 1, 0], 40.0)
+    return scene, cam, RenderConfig(width=width, height=height, spp=8), \
+        IntegratorConfig(max_bounces=3)
+
+
+def build(name: str, **kw):
+    return CATALOG[name](**kw)
+
+
+def main(argv=None):
+    """CLI: python -m ptsharp_tpu.examples <name> [iterations] [out.png]"""
+    import sys
+
+    import jax
+
+    args = argv if argv is not None else sys.argv[1:]
+    if not args or args[0] not in CATALOG:
+        print("usage: python -m ptsharp_tpu.examples <name> [iters] [out.png]")
+        print("scenes:", ", ".join(sorted(CATALOG)))
+        return 1
+    name = args[0]
+    iters = int(args[1]) if len(args) > 1 else 1
+    out = args[2] if len(args) > 2 else f"{name}.png"
+    scene, cam, rcfg, icfg = build(name)
+    from ptsharp_tpu.renderer import Renderer
+
+    r = Renderer(scene, cam, rcfg, icfg)
+    r.iterative_render(iters, key=jax.random.PRNGKey(0), path_template=out,
+                       verbose=True)
+    print(f"wrote {out}; rays traced: {r.rays_traced}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -299,6 +299,13 @@ def sphere_trace(sdf: Sdf, org, dirn, t_enter, t_exit,
     jump back once and continue with refinement; accept when d < eps.
     Returns t (R,) with INF misses.
     """
+    # while_loop is not reverse-differentiable: detach the march (gradients
+    # w.r.t. SDF params would need an implicit-function reparameterization,
+    # future work; material/shading grads still flow outside this call).
+    org = jax.lax.stop_gradient(org)
+    dirn = jax.lax.stop_gradient(dirn)
+    t_enter = jax.lax.stop_gradient(t_enter)
+    t_exit = jax.lax.stop_gradient(t_exit)
     R = org.shape[0]
     t0 = jnp.maximum(TRACE_START, t_enter)
     active0 = t_exit >= jnp.maximum(t_enter, 0.0)

@@ -118,6 +118,11 @@ def intersect(volume: VolumeGrid, org, dirn, t_enter, t_exit):
     """Fixed-step march (step 1/512) with 64x refinement once the band
     changes or a window is entered (Volume.cs:169-197). org/dirn (R, 3),
     unit directions. Returns t (R,), INF on miss."""
+    # while_loop is not reverse-differentiable: detach the march.
+    org = jax.lax.stop_gradient(org)
+    dirn = jax.lax.stop_gradient(dirn)
+    t_enter = jax.lax.stop_gradient(t_enter)
+    t_exit = jax.lax.stop_gradient(t_exit)
     R = org.shape[0]
     start = jnp.maximum(MARCH_STEP, t_enter)
     active0 = (t_exit >= t_enter) & (t_exit > 0.0)

@@ -331,13 +331,17 @@ def trace(
         emission_ok = is_spec
 
         # Russian roulette (first-class masked termination; the reference's
-        # version is dead code, Sampler.cs:133-142)
-        if cfg.russian_roulette and depth_static >= cfg.rr_start_depth:
+        # version is dead code, Sampler.cs:133-142). depth_static may be a
+        # traced scalar inside the depth scan, so the start-depth gate is a
+        # where, not a Python branch.
+        if cfg.russian_roulette:
+            gate = jnp.asarray(depth_static) >= cfg.rr_start_depth
             prob = jnp.clip(
                 jnp.max(jax.lax.stop_gradient(throughput), axis=-1),
                 cfg.rr_min_prob,
                 1.0,
             )
+            prob = jnp.where(gate, prob, 1.0)
             u = jax.random.uniform(krr, prob.shape)
             survive = u < prob
             throughput = jnp.where(
@@ -377,19 +381,29 @@ def trace(
         sa, rays, alb, nrm = step(state, rays, k0a, u1, u2, None, 0)
         states = [sa]
 
-    # ---- bounces 1..max: python-unrolled wavefront loop ------------------
-    # (unrolled rather than lax.scan because closest_hit already contains
-    #  while_loops; unrolling lets XLA fuse each depth independently and
-    #  keeps per-depth RR static. max_bounces is small: 3-8.)
+    # ---- bounces 1..max: lax.scan over depth -----------------------------
+    # One traced body for every depth keeps the XLA graph (and compile
+    # time) independent of max_bounces — the scanned-depth design of
+    # SURVEY.md §5's "long-context equivalent". RR's depth gate becomes a
+    # traced comparison inside the body.
+    def scan_body(carry, depth):
+        cur, rays_acc, si = carry
+        dk = jax.random.fold_in(jax.random.fold_in(krest, si * 1024), depth)
+        ku_, kv_ = jax.random.split(jax.random.fold_in(dk, 7))
+        uu = jax.random.uniform(ku_, (r,))
+        vv = jax.random.uniform(kv_, (r,))
+        cur, rays_acc, _, _ = step(cur, rays_acc, dk, uu, vv, None, depth)
+        return (cur, rays_acc, si), None
+
     results = []
+    depths = jnp.arange(1, cfg.max_bounces + 1)
     for si, st in enumerate(states):
-        cur = st
-        for depth in range(1, cfg.max_bounces + 1):
-            dk = jax.random.fold_in(krest, si * 1024 + depth)
-            ku_, kv_ = jax.random.split(jax.random.fold_in(dk, 7))
-            uu = jax.random.uniform(ku_, (r,))
-            vv = jax.random.uniform(kv_, (r,))
-            cur, rays, _, _ = step(cur, rays, dk, uu, vv, None, depth)
+        if cfg.max_bounces > 0:
+            (cur, rays, _), _ = jax.lax.scan(
+                scan_body, (st, rays, jnp.int32(si)), depths
+            )
+        else:
+            cur = st
         results.append(cur.radiance)
 
     radiance = results[0] if len(results) == 1 else results[0] + results[1]

@@ -19,3 +19,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+
+# persistent compilation cache: shaves repeated-suite compile time
+import os as _os
+
+_cache = "/root/.cache/jax_compilation_cache"
+_os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -1,0 +1,152 @@
+"""BVH build + traversal correctness: flattened traversal must agree with
+brute-force Möller–Trumbore over every triangle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ptsharp_tpu.accel import bvh as bvh_mod
+from ptsharp_tpu.accel import traverse
+from ptsharp_tpu.core import vec
+from ptsharp_tpu.geometry import primitives as prim
+from ptsharp_tpu.geometry.mesh import TriMesh, cube_mesh, sphere_mesh
+
+
+def _mesh_arrays(mesh: TriMesh, leaf_size=4):
+    v = mesh.v
+    lo = np.minimum(np.minimum(v[:, 0], v[:, 1]), v[:, 2])
+    hi = np.maximum(np.maximum(v[:, 0], v[:, 1]), v[:, 2])
+    flat = bvh_mod.build(lo, hi, leaf_size=leaf_size)
+    sv = v[flat.order]
+    pad = np.zeros((leaf_size, 3, 3), np.float32)
+    sv = np.concatenate([sv, pad])
+    return (
+        traverse.MeshArrays(
+            node_bmin=jnp.asarray(flat.bmin),
+            node_bmax=jnp.asarray(flat.bmax),
+            node_first=jnp.asarray(flat.first),
+            node_count=jnp.asarray(flat.count),
+            node_skip=jnp.asarray(flat.skip),
+            v0=jnp.asarray(sv[:, 0]),
+            e1=jnp.asarray(sv[:, 1] - sv[:, 0]),
+            e2=jnp.asarray(sv[:, 2] - sv[:, 0]),
+            max_leaf=leaf_size,
+        ),
+        flat,
+    )
+
+
+def _brute(mesh: TriMesh, org, dirn):
+    v = jnp.asarray(mesh.v)
+    t, _, _ = prim.intersect_triangles(org, dirn, v[:, 0], v[:, 1], v[:, 2])
+    return jnp.min(t, axis=1)
+
+
+def test_bvh_skip_links_wellformed():
+    rng = np.random.default_rng(0)
+    lo = rng.uniform(-5, 5, (1000, 3)).astype(np.float32)
+    hi = lo + rng.uniform(0.01, 0.5, (1000, 3)).astype(np.float32)
+    flat = bvh_mod.build(lo, hi, leaf_size=8)
+    n = flat.bmin.shape[0]
+    assert flat.skip.max() <= n
+    assert (flat.skip > np.arange(n)).all()  # strictly forward
+    # leaf triangle ranges cover exactly [0, T)
+    leaves = flat.count > 0
+    covered = np.zeros(1000, bool)
+    for f, c in zip(flat.first[leaves], flat.count[leaves]):
+        assert not covered[f : f + c].any()  # no duplication (unlike k-d)
+        covered[f : f + c] = True
+    assert covered.all()
+
+
+def test_bvh_matches_brute_force_cube():
+    mesh = cube_mesh([-1, -1, -1], [1, 1, 1])
+    arrays, _ = _mesh_arrays(mesh)
+    rng = np.random.default_rng(1)
+    n = 256
+    org = rng.uniform(-4, 4, (n, 3)).astype(np.float32)
+    org = org + np.sign(org) * 2.0  # push outside the cube
+    target = rng.uniform(-0.8, 0.8, (n, 3)).astype(np.float32)
+    dirn = target - org
+    dirn = (dirn / np.linalg.norm(dirn, axis=1, keepdims=True)).astype(np.float32)
+    t_bvh, tri, _, _ = traverse.traverse(
+        arrays, jnp.asarray(org), jnp.asarray(dirn), vec.INF, 0,
+        arrays.node_bmin.shape[0],
+    )
+    t_ref = _brute(mesh, jnp.asarray(org), jnp.asarray(dirn))
+    np.testing.assert_allclose(np.asarray(t_bvh), np.asarray(t_ref), rtol=1e-4)
+    assert (np.asarray(tri) >= 0).all()
+
+
+def test_bvh_matches_brute_force_sphere_mesh():
+    mesh = sphere_mesh([0.0, 0.0, 0.0], 1.0, subdivisions=3)  # 1280 tris
+    arrays, _ = _mesh_arrays(mesh, leaf_size=8)
+    rng = np.random.default_rng(2)
+    n = 512
+    # random rays toward the sphere, some missing
+    org = rng.normal(0, 1, (n, 3))
+    org = (org / np.linalg.norm(org, axis=1, keepdims=True) * 3).astype(np.float32)
+    target = rng.uniform(-1.3, 1.3, (n, 3)).astype(np.float32)
+    dirn = target - org
+    dirn = (dirn / np.linalg.norm(dirn, axis=1, keepdims=True)).astype(np.float32)
+    t_bvh, _, _, _ = traverse.traverse(
+        arrays, jnp.asarray(org), jnp.asarray(dirn), vec.INF, 0,
+        arrays.node_bmin.shape[0],
+    )
+    t_ref = _brute(mesh, jnp.asarray(org), jnp.asarray(dirn))
+    hit_ref = np.asarray(t_ref) < vec.INF
+    hit_bvh = np.asarray(t_bvh) < vec.INF
+    np.testing.assert_array_equal(hit_bvh, hit_ref)
+    np.testing.assert_allclose(
+        np.asarray(t_bvh)[hit_bvh], np.asarray(t_ref)[hit_ref], rtol=1e-4
+    )
+
+
+def test_scene_mesh_instancing():
+    """Two instances of the same cube mesh via SceneBuilder: transformed
+    instance must hit at the transformed location."""
+    from ptsharp_tpu.camera import Camera
+    from ptsharp_tpu.intersect import closest_hit
+    from ptsharp_tpu.materials import diffuse_material
+    from ptsharp_tpu.scene import PT_TRIANGLE, SceneBuilder
+
+    t = np.eye(4, dtype=np.float32)
+    t[:3, 3] = [5.0, 0.0, 0.0]  # second cube at x=+5
+
+    b = SceneBuilder()
+    mesh_id = b.add_mesh(cube_mesh([-1, -1, -1], [1, 1, 1]),
+                         diffuse_material([1, 0, 0]))
+    b.add_mesh_instance(mesh_id, transform=t)
+    scene = b.build(leaf_size=4)
+
+    org = jnp.asarray([[0, 0, -5], [5, 0, -5]], jnp.float32)
+    dirn = jnp.asarray([[0, 0, 1], [0, 0, 1]], jnp.float32)
+    hit = closest_hit(scene, org, dirn)
+    np.testing.assert_allclose(np.asarray(hit.t), [4.0, 4.0], rtol=1e-4)
+    assert (np.asarray(hit.ptype) == PT_TRIANGLE).all()
+    assert np.asarray(hit.inst).tolist() == [0, 1]
+
+
+def test_scene_mesh_normals_interpolated():
+    """Smooth sphere mesh normals should be close to analytic sphere
+    normals after barycentric interpolation."""
+    from ptsharp_tpu.intersect import closest_hit, hit_info
+    from ptsharp_tpu.materials import diffuse_material
+    from ptsharp_tpu.scene import SceneBuilder
+
+    mesh = sphere_mesh([0.0, 0.0, 0.0], 1.0, subdivisions=3)
+    b = SceneBuilder()
+    b.add_mesh(mesh, diffuse_material([1, 1, 1]))
+    scene = b.build(leaf_size=8)
+
+    rng = np.random.default_rng(3)
+    n = 128
+    d = rng.normal(0, 1, (n, 3))
+    d = d / np.linalg.norm(d, axis=1, keepdims=True)
+    org = jnp.asarray(d * 3.0, jnp.float32)
+    dirn = jnp.asarray(-d, jnp.float32)
+    hit = closest_hit(scene, org, dirn)
+    info = hit_info(scene, org, dirn, hit)
+    # hit normal should be ~ the outward radial direction
+    cos = np.sum(np.asarray(info.normal) * d, axis=1)
+    assert cos.min() > 0.99
