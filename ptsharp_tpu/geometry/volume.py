@@ -34,12 +34,17 @@ class VolumeWindow:
     material_id: int
 
 
-@dataclass
+@dataclass(eq=False)
 class VolumeGrid:
     """Host volume description. data is (W, H, D) float32 in [0, 1];
-    box maps the grid onto world space."""
+    box maps the grid onto world space.
 
-    data: Any  # (W, H, D)
+    The grid itself is passed to the device-side functions as an explicit
+    array argument (it lives in SceneData's traced pytree — embedding it as
+    an XLA constant at every sample() call site bloats compiles).
+    """
+
+    data: Any  # (W, H, D) numpy, host copy
     windows: list
     bmin: Any
     bmax: Any
@@ -53,8 +58,7 @@ class VolumeGrid:
                           bmax=np.asarray(bmax, np.float32))
 
 
-def _grid_coords(volume: VolumeGrid, p):
-    data = jnp.asarray(volume.data)
+def _grid_coords(data, volume: VolumeGrid, p):
     w, h, d = data.shape
     bmin = jnp.asarray(volume.bmin)
     bmax = jnp.asarray(volume.bmax)
@@ -66,12 +70,11 @@ def _grid_coords(volume: VolumeGrid, p):
     )
 
 
-def sample(volume: VolumeGrid, p):
+def sample(data, volume: VolumeGrid, p):
     """Trilinear density sample at world points p (..., 3) -> (...,).
-    Out-of-box coordinates clamp to the border."""
-    data = jnp.asarray(volume.data)
+    `data` is the device grid array. Out-of-box coordinates clamp."""
     w, h, d = data.shape
-    x, y, z = _grid_coords(volume, p)
+    x, y, z = _grid_coords(data, volume, p)
     x = jnp.clip(x, 0.0, w - 1.0001)
     y = jnp.clip(y, 0.0, h - 1.0001)
     z = jnp.clip(z, 0.0, d - 1.0001)
@@ -97,11 +100,11 @@ def sample(volume: VolumeGrid, p):
     return c0 * (1 - fz) + c1 * fz
 
 
-def band_sign(volume: VolumeGrid, p):
+def band_sign(data, volume: VolumeGrid, p):
     """Window-band classification (Volume.Sign, Volume.cs:113-131):
     0 = inside some window (a surface), otherwise a band index identifying
     which gap the sample falls in."""
-    s = sample(volume, p)
+    s = sample(data, volume, p)
     windows = volume.windows
     result = jnp.full(s.shape, len(windows) + 1, jnp.int32)
     # walk windows from last to first so earlier windows take precedence
@@ -114,7 +117,7 @@ def band_sign(volume: VolumeGrid, p):
     return result
 
 
-def intersect(volume: VolumeGrid, org, dirn, t_enter, t_exit):
+def intersect(data, volume: VolumeGrid, org, dirn, t_enter, t_exit):
     """Fixed-step march (step 1/512) with 64x refinement once the band
     changes or a window is entered (Volume.cs:169-197). org/dirn (R, 3),
     unit directions. Returns t (R,), INF on miss."""
@@ -128,67 +131,75 @@ def intersect(volume: VolumeGrid, org, dirn, t_enter, t_exit):
     active0 = (t_exit >= t_enter) & (t_exit > 0.0)
     fine = MARCH_STEP / REFINE
 
-    def refine(t_prev):
-        """Scan [t_prev, t_prev + step] in 64 fine steps; return first t
-        whose band-sign is 0 (else INF)."""
-        ts = t_prev + fine * (1.0 + jnp.arange(REFINE, dtype=jnp.float32))[:, None]
-        p = org[None, :, :] + dirn[None, :, :] * ts[..., None]
-        s = band_sign(volume, p.reshape(-1, 3)).reshape(REFINE, R)
-        is_hit = s == 0
-        any_hit = jnp.any(is_hit, axis=0)
-        first = jnp.argmax(is_hit, axis=0)
-        # reference reports t - fine_step (the sample just before entry)
-        t_hit = t_prev + fine * first.astype(jnp.float32)
-        return jnp.where(any_hit, t_hit, jnp.full(R, vec.INF)), any_hit
+    # coarse march: record the t of the FIRST band change per ray; the 64x
+    # refinement runs once afterwards over the whole batch (the reference
+    # refines inline per ray, Volume.cs:183-193 — hoisting it out of the
+    # lockstep loop saves 64x redundant work on the wavefront)
+    # hard iteration cap: the march distance is bounded by the box diagonal
+    # for unit rays, but degenerate lanes (near-axis directions blowing up
+    # the slab exit t) must not stall the lockstep loop
+    diag = float(np.linalg.norm(np.asarray(volume.bmax) - np.asarray(volume.bmin)))
+    max_iters = int(diag / MARCH_STEP) + 64
+    t_exit = jnp.minimum(t_exit, start + diag)
 
     def cond(state):
-        _, _, active, _ = state
-        return jnp.any(active)
+        _, _, active, _, i = state
+        return jnp.logical_and(jnp.any(active), i < max_iters)
 
     def body(state):
-        t, prev_sign, active, hit_t = state
+        t, prev_sign, active, cross_t, i = state
         p = org + dirn * t[..., None]
-        s = band_sign(volume, p)
+        s = band_sign(data, volume, p)
         crossed = (s == 0) | ((prev_sign >= 0) & (s != prev_sign))
-        need_refine = active & crossed
-        ref_t, ref_ok = refine(t - MARCH_STEP)
-        hit_now = need_refine & ref_ok
-        hit_t = jnp.where(hit_now, ref_t, hit_t)
-        active = active & ~hit_now & ~(need_refine & ~ref_ok & (s == 0))
+        hit_now = active & crossed
+        cross_t = jnp.where(hit_now, t, cross_t)
+        active = active & ~hit_now
         new_t = t + MARCH_STEP
-        out = new_t > t_exit
-        active = active & ~out
-        return new_t, jnp.where(active, s, prev_sign), active, hit_t
+        active = active & (new_t <= t_exit)
+        return new_t, jnp.where(active, s, prev_sign), active, cross_t, i + 1
 
     init = (
         start,
         jnp.full(R, -1, jnp.int32),
         active0,
         jnp.full(R, vec.INF, jnp.float32),
+        jnp.int32(0),
     )
-    _, _, _, hit_t = jax.lax.while_loop(cond, body, init)
-    return hit_t
+    _, _, _, cross_t, _ = jax.lax.while_loop(cond, body, init)
+
+    # single vectorized refinement pass over [cross_t - step, cross_t]
+    found = cross_t < vec.INF
+    t_prev = jnp.where(found, cross_t - MARCH_STEP, 0.0)
+    ts = t_prev[None, :] + fine * (1.0 + jnp.arange(REFINE, dtype=jnp.float32))[:, None]
+    p = org[None, :, :] + dirn[None, :, :] * ts[..., None]
+    s = band_sign(data, volume, p.reshape(-1, 3)).reshape(REFINE, R)
+    is_hit = s == 0
+    any_hit = jnp.any(is_hit, axis=0) & found
+    first = jnp.argmax(is_hit, axis=0)
+    # reference reports the sample just before entry (t - fine_step)
+    t_hit = t_prev + fine * first.astype(jnp.float32)
+    return jnp.where(any_hit, t_hit, jnp.full(R, vec.INF))
 
 
-def normal_at(volume: VolumeGrid, p, eps: float = 1e-3):
+def normal_at(data, volume: VolumeGrid, p, eps: float = 1e-3):
     """Density-gradient normal (Volume.NormalAt, Volume.cs:138-145)."""
     ex = jnp.array([eps, 0.0, 0.0], jnp.float32)
     ey = jnp.array([0.0, eps, 0.0], jnp.float32)
     ez = jnp.array([0.0, 0.0, eps], jnp.float32)
     n = jnp.stack(
         [
-            sample(volume, p - ex) - sample(volume, p + ex),
-            sample(volume, p - ey) - sample(volume, p + ey),
-            sample(volume, p - ez) - sample(volume, p + ez),
+            sample(data, volume, p - ex) - sample(data, volume, p + ex),
+            sample(data, volume, p - ey) - sample(data, volume, p + ey),
+            sample(data, volume, p - ez) - sample(data, volume, p + ez),
         ],
         axis=-1,
     )
     return vec.normalize(n)
 
 
-def material_at(volume: VolumeGrid, p):
+def material_at(data, volume: VolumeGrid, p):
     """Nearest-window material id (Volume.MaterialAt, Volume.cs:147-167)."""
-    s = sample(volume, p)
+    s = sample(data, volume, p)
     windows = volume.windows
     best_e = jnp.full(s.shape, 1e9, jnp.float32)
     best_m = jnp.zeros(s.shape, jnp.int32)

@@ -181,7 +181,7 @@ def closest_hit(scene: SceneData, org, dirn) -> Hit:
         hi_a = jnp.asarray(vol.bmax, jnp.float32)
         te, tx = primitives.box_entry_exit(org, dirn, lo_a, hi_a)
         tx = jnp.minimum(tx, best_t)
-        t = vol_mod.intersect(vol, org, dirn, te, tx)
+        t = vol_mod.intersect(scene.volume_data[i], vol, org, dirn, te, tx)
         take(t, PT_VOLUME, jnp.int32(i))
 
     return Hit(best_t, best_type, best_idx, best_inst, best_u, best_v)
@@ -282,8 +282,8 @@ def hit_info(scene: SceneData, org, dirn, hit: Hit) -> HitInfo:
 
     for i, vol in enumerate(scene.volumes):
         m = (hit.ptype == PT_VOLUME) & (hit.pindex == i)
-        n = vol_mod.normal_at(vol, pos)
-        vm = vol_mod.material_at(vol, pos)
+        n = vol_mod.normal_at(scene.volume_data[i], vol, pos)
+        vm = vol_mod.material_at(scene.volume_data[i], vol, pos)
         sel(m, n, vm)
 
     # normal flip toward the ray + inside flag (Hit.cs:36-47); SDF and

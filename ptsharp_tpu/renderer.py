@@ -190,16 +190,30 @@ class Renderer:
         film: Film | None = None,
         denoise: bool = False,
         verbose: bool = False,
+        checkpoint_path: str | None = None,
+        checkpoint_every: int = 0,
     ) -> Film:
         """Progressive refinement loop (IterativeRender, Renderer.cs:702-765):
         the film accumulates across iterations; each iteration optionally
-        writes `path_template % iteration` as PNG."""
+        writes `path_template % iteration` as PNG. With checkpoint_path the
+        film/key/iteration state persists every `checkpoint_every`
+        iterations and resumes automatically if the file exists."""
         if key is None:
             key = jax.random.PRNGKey(0)
         cfg = self.config
+        start_it = 0
+        if checkpoint_path:
+            import os
+
+            from ptsharp_tpu.checkpoint import load_checkpoint
+
+            if os.path.exists(checkpoint_path):
+                film, start_it, key = load_checkpoint(checkpoint_path)
+                if verbose:
+                    print(f"resumed from {checkpoint_path} @ iter {start_it}")
         if film is None:
             film = Film.zeros(cfg.height, cfg.width)
-        for it in range(iterations):
+        for it in range(start_it, iterations):
             t0 = time.time()
             film = self.render(film, jax.random.fold_in(key, it))
             if verbose:
@@ -212,6 +226,10 @@ class Renderer:
             if path_template:
                 save_png(film.color_srgb(), path_template % (it + 1)
                          if "%" in path_template else path_template)
+            if checkpoint_path and checkpoint_every and (it + 1) % checkpoint_every == 0:
+                from ptsharp_tpu.checkpoint import save_checkpoint
+
+                save_checkpoint(checkpoint_path, film, it + 1, key)
         if denoise:
             from ptsharp_tpu.denoise import denoise_film
 

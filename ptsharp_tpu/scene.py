@@ -53,6 +53,7 @@ _DATA_FIELDS = [
     "light_ptype", "light_pindex", "light_center", "light_radius", "light_mat",
     "materials", "textures",
     "env_color", "texture_angle",
+    "volume_data",
 ]
 _META_FIELDS = [
     "sdf_objects", "volumes", "sphere_xform", "cube_xform", "cyl_xform",
@@ -124,6 +125,7 @@ class SceneData:
     textures: TextureAtlas
     env_color: jnp.ndarray
     texture_angle: jnp.ndarray
+    volume_data: tuple  # per-volume (W, H, D) device grids (traced args)
     # --- static metadata ---
     sdf_objects: tuple  # tuple of (Sdf, mat_id, bmin_tuple, bmax_tuple)
     volumes: tuple      # tuple of VolumeGrid (identity-hashed)
@@ -446,6 +448,7 @@ class SceneBuilder:
             textures=TextureAtlas.build(self._textures),
             env_color=jnp.asarray(self.env_color),
             texture_angle=jnp.float32(self.texture_angle),
+            volume_data=tuple(jnp.asarray(v.data) for v in self._volumes),
             sdf_objects=tuple(self._sdfs),
             volumes=tuple(self._volumes),
             sphere_xform=sphere_x,
