@@ -53,14 +53,16 @@ def run(width=1920, height=1080, spp=64, warmup_spp=4):
 
     n_chunks = max(1, total_rays_primary // pix_per_chunk)
     # measure a capped number of chunks and extrapolate (full 1080p@64spp is
-    # 132M primary rays; timing stabilizes after a few chunks)
-    measured_chunks = min(n_chunks, 8)
+    # 132M primary rays; timing stabilizes after a few chunks). Chunks are
+    # dispatched without per-chunk blocking so device work pipelines — the
+    # renderer runs the same way.
+    measured_chunks = min(n_chunks, 16)
     t0 = time.time()
-    total_traced = 0
+    outs = []
     for i in range(measured_chunks):
         s, traced = render_chunk(jax.random.PRNGKey(i), pix_x, pix_y)
-        jax.block_until_ready(s)
-        total_traced += int(traced)
+        outs.append(traced)
+    total_traced = sum(int(t) for t in outs)  # blocks once at the end
     dt = time.time() - t0
     mrays = total_traced / dt / 1e6
     return mrays, total_traced, dt

@@ -115,18 +115,17 @@ def traverse(
         )
         t_ok = jnp.where(ok, t, vec.INF)
         lane_best = jnp.argmin(t_ok, axis=-1)
-        t_lane = jnp.take_along_axis(t_ok, lane_best[:, None], axis=-1)[:, 0]
+        # min/masked-sum instead of take_along_axis: the gather form is
+        # ~100x slower on TPU than these fused reductions
+        t_lane = jnp.min(t_ok, axis=-1)
+        sel = lane == lane_best[:, None]
+        u_lane = jnp.sum(jnp.where(sel, u, 0.0), axis=-1)
+        v_lane = jnp.sum(jnp.where(sel, v, 0.0), axis=-1)
         got = t_lane < best_t
         best_t = jnp.where(got, t_lane, best_t)
-        best_tri = jnp.where(
-            got, start + lane_best, best_tri
-        )
-        best_u = jnp.where(
-            got, jnp.take_along_axis(u, lane_best[:, None], axis=-1)[:, 0], best_u
-        )
-        best_v = jnp.where(
-            got, jnp.take_along_axis(v, lane_best[:, None], axis=-1)[:, 0], best_v
-        )
+        best_tri = jnp.where(got, start + lane_best, best_tri)
+        best_u = jnp.where(got, u_lane, best_u)
+        best_v = jnp.where(got, v_lane, best_v)
 
         # --- advance cursor ----------------------------------------------
         descend = box_hit & ~is_leaf

@@ -108,14 +108,14 @@ def closest_hit(scene: SceneData, org, dirn) -> Hit:
             o, d = o1, d1
         ts = primitives.intersect_spheres(o, d, scene.sphere_center, scene.sphere_radius)
         idx = jnp.argmin(ts, axis=1)
-        tmin = jnp.take_along_axis(ts, idx[:, None], axis=1)[:, 0]
+        tmin = jnp.min(ts, axis=1)
         take(tmin, PT_SPHERE, idx.astype(jnp.int32))
 
     # --- planes -----------------------------------------------------------
     if scene.plane_point.shape[0] > 0:
         ts = primitives.intersect_planes(o1, d1, scene.plane_point, scene.plane_normal)
         idx = jnp.argmin(ts, axis=1)
-        tmin = jnp.take_along_axis(ts, idx[:, None], axis=1)[:, 0]
+        tmin = jnp.min(ts, axis=1)
         take(tmin, PT_PLANE, idx.astype(jnp.int32))
 
     # --- cubes ------------------------------------------------------------
@@ -127,7 +127,7 @@ def closest_hit(scene: SceneData, org, dirn) -> Hit:
             o, d = o1, d1
         ts = primitives.intersect_cubes(o, d, scene.cube_min, scene.cube_max)
         idx = jnp.argmin(ts, axis=1)
-        tmin = jnp.take_along_axis(ts, idx[:, None], axis=1)[:, 0]
+        tmin = jnp.min(ts, axis=1)
         take(tmin, PT_CUBE, idx.astype(jnp.int32))
 
     # --- cylinders --------------------------------------------------------
@@ -139,7 +139,7 @@ def closest_hit(scene: SceneData, org, dirn) -> Hit:
             o, d = o1, d1
         ts = primitives.intersect_cylinders(o, d, scene.cyl_radius, scene.cyl_z0, scene.cyl_z1)
         idx = jnp.argmin(ts, axis=1)
-        tmin = jnp.take_along_axis(ts, idx[:, None], axis=1)[:, 0]
+        tmin = jnp.min(ts, axis=1)
         take(tmin, PT_CYLINDER, idx.astype(jnp.int32))
 
     # --- mesh instances (flattened BVH traversal) -------------------------
@@ -264,15 +264,55 @@ def hit_info(scene: SceneData, org, dirn, hit: Hit) -> HitInfo:
         n_obj = vec.normalize(
             primitives.triangle_interpolate(n0, n1, n2, hit.u, hit.v)
         )
-        inst = jnp.maximum(hit.inst, 0)
-        inv = scene.inst_inv[inst]
-        n = _xform_normal(inv, n_obj)
         uv = primitives.triangle_interpolate(
             scene.tri_uv0[idx], scene.tri_uv1[idx], scene.tri_uv2[idx],
             hit.u, hit.v,
         )
+        inst = jnp.maximum(hit.inst, 0)
         over = scene.inst_mat[inst]
         tm = jnp.where(over >= 0, over, scene.tri_mat[idx])
+
+        # tangent-space normal mapping + bump mapping
+        # (Triangle.cs:142-186); only when the scene carries any maps
+        mats = scene.materials
+        if scene.has_surface_maps:  # static: set at scene build
+            tri_mat_g = mats.gather(tm)
+            duv1 = scene.tri_uv1[idx] - scene.tri_uv0[idx]
+            duv2 = scene.tri_uv2[idx] - scene.tri_uv0[idx]
+            e1 = scene.tri_e1[idx]
+            e2 = scene.tri_e2[idx]
+            tangent = vec.normalize(
+                e1 * duv2[..., 1:2] - e2 * duv1[..., 1:2]
+            )
+            bitangent = vec.normalize(
+                e2 * duv1[..., 0:1] - e1 * duv2[..., 0:1]
+            )
+            # normal map: tangent-space RGB -> world
+            ns = scene.textures.normal_sample(
+                tri_mat_g.normal_texture, uv[..., 0], uv[..., 1]
+            )
+            tbn_n = vec.normalize(vec.cross(tangent, bitangent))
+            mapped = vec.normalize(
+                tangent * ns[..., 0:1]
+                + bitangent * ns[..., 1:2]
+                + tbn_n * ns[..., 2:3]
+            )
+            use_nmap = tri_mat_g.normal_texture >= 0
+            n_obj = jnp.where(use_nmap[..., None], mapped, n_obj)
+            # bump map: height-gradient perturbation
+            bump = scene.textures.bump_sample(
+                tri_mat_g.bump_texture, uv[..., 0], uv[..., 1]
+            )
+            bumped = vec.normalize(
+                n_obj
+                + tangent * (bump[..., 0:1] * tri_mat_g.bump_multiplier[..., None])
+                + bitangent * (bump[..., 1:2] * tri_mat_g.bump_multiplier[..., None])
+            )
+            use_bump = tri_mat_g.bump_texture >= 0
+            n_obj = jnp.where(use_bump[..., None], bumped, n_obj)
+
+        inv = scene.inst_inv[inst]
+        n = _xform_normal(inv, n_obj)
         sel(m, n, tm, uv[..., 0], uv[..., 1])
 
     for i, (sdf_obj, mid, _lo, _hi) in enumerate(scene.sdf_objects):

@@ -57,7 +57,7 @@ _DATA_FIELDS = [
 ]
 _META_FIELDS = [
     "sdf_objects", "volumes", "sphere_xform", "cube_xform", "cyl_xform",
-    "max_leaf", "env_texture",
+    "max_leaf", "env_texture", "has_surface_maps",
 ]
 
 
@@ -134,6 +134,7 @@ class SceneData:
     cyl_xform: bool
     max_leaf: int
     env_texture: int
+    has_surface_maps: bool
 
     @property
     def num_lights(self) -> int:
@@ -456,4 +457,8 @@ class SceneBuilder:
             cyl_xform=cyl_x,
             max_leaf=leaf_size,
             env_texture=self.env_texture,
+            has_surface_maps=any(
+                m.normal_texture >= 0 or m.bump_texture >= 0
+                for m in self._materials
+            ),
         )
