@@ -312,6 +312,271 @@ def cube_field(width=512, height=384, n=12):
         IntegratorConfig(max_bounces=3)
 
 
+@example("craft")
+def craft(width=512, height=384, n=10):
+    """Textured voxel blocks (reference craft, Example.cs:72-117) with a
+    procedural grass/dirt texture atlas (no external assets)."""
+    rng = np.random.default_rng(7)
+    b = SceneBuilder()
+    # procedural "grass top / dirt side" texture
+    tex = np.zeros((32, 32, 3), np.float32)
+    noise = rng.uniform(0.75, 1.0, (32, 32, 1)).astype(np.float32)
+    tex[:10] = np.array([0.13, 0.45, 0.10], np.float32) * noise[:10]
+    tex[10:] = np.array([0.35, 0.22, 0.12], np.float32) * noise[10:]
+    tid = b.add_texture(tex)
+    from ptsharp_tpu.materials import Material
+
+    block = Material(color=(0.6, 0.5, 0.3), texture=tid)
+    heights = (
+        2.0 + 1.6 * np.sin(np.arange(n)[:, None] * 0.7)
+        * np.cos(np.arange(n)[None, :] * 0.9)
+        + rng.uniform(0, 0.8, (n, n))
+    )
+    for i in range(n):
+        for j in range(n):
+            h = float(np.ceil(heights[i, j]))
+            for k in range(int(h)):
+                if k < h - 1 and 0 < i < n - 1 and 0 < j < n - 1:
+                    continue  # hollow interior like the reference mesh opt
+                x, z = i - n / 2, j - n / 2
+                b.add_cube([x, k, z], [x + 1, k + 1, z + 1], block)
+    b.add_sphere([0, 16, -8], 4.0, light_material([1, 1, 1], 6.0))
+    b.set_environment(color=[0.35, 0.48, 0.65])
+    scene = b.build()
+    cam = Camera.look_at([-8, 9, -10], [0, 1, 0], [0, 1, 0], 45.0)
+    return scene, cam, RenderConfig(width=width, height=height, spp=8), \
+        IntegratorConfig(max_bounces=3)
+
+
+@example("runway")
+def runway(width=512, height=288):
+    """Runway of Kelvin-temperature lights (reference runway,
+    Example.cs:1028-1082) — exercises Colour.Kelvin + many-light NEE."""
+    b = SceneBuilder()
+    b.add_plane([0, 0, 0], [0, 1, 0], diffuse_material([0.05, 0.05, 0.06]))
+    for i in range(20):
+        z = i * 4.0
+        k = 2000.0 + i * 700.0
+        c = np.asarray(colorlib.kelvin(k))
+        for x in (-3.0, 3.0):
+            b.add_sphere([x, 0.3, z], 0.3, light_material(c, 6.0))
+    # approach strobes
+    for i in range(6):
+        b.add_sphere([0, 0.25, -8.0 - i * 5.0], 0.25,
+                     light_material(np.asarray(colorlib.kelvin(6500.0)), 10.0))
+    b.set_environment(color=[0.01, 0.012, 0.02])
+    scene = b.build()
+    cam = Camera.look_at([0, 6, -20], [0, 0, 30], [0, 1, 0], 50.0)
+    return scene, cam, RenderConfig(width=width, height=height, spp=16), \
+        IntegratorConfig(max_bounces=2)
+
+
+@example("mol")
+def mol(width=512, height=384):
+    """Ball-and-stick molecule (reference mol, Example.cs:538-816) from the
+    embedded benzene structure; the molfile parser handles real .sdf files."""
+    from ptsharp_tpu.io.mol import add_molecule, benzene
+
+    b = SceneBuilder()
+    add_molecule(b, benzene())
+    b.add_plane([0, 0, -1.2], [0, 0, 1], diffuse_material([0.85, 0.85, 0.85]))
+    b.add_sphere([4, 6, 6], 2.0, light_material([1, 1, 1], 8.0))
+    b.set_environment(color=[0.12, 0.13, 0.16])
+    scene = b.build()
+    cam = Camera.look_at([0, -7, 4], [0, 0, 0], [0, 0, 1], 40.0)
+    return scene, cam, RenderConfig(width=width, height=height, spp=16), \
+        IntegratorConfig(max_bounces=3)
+
+
+@example("go")
+def go(width=512, height=384):
+    """Go board with stones as squashed-sphere instances (reference go,
+    Example.cs:248-338)."""
+    rng = np.random.default_rng(19)
+    b = SceneBuilder()
+    board = diffuse_material([0.72, 0.55, 0.3])
+    b.add_cube([-9.5, -0.5, -9.5], [9.5, 0.0, 9.5], board)
+    white = glossy_material([0.95, 0.95, 0.92], 1.4, math.radians(10))
+    black = glossy_material([0.06, 0.06, 0.07], 1.5, math.radians(10))
+    squash = np.diag([0.45, 0.22, 0.45, 1.0]).astype(np.float32)
+    for i in range(-4, 5):
+        for j in range(-4, 5):
+            if rng.random() < 0.5:
+                continue
+            t = squash.copy()
+            t[:3, 3] = [i * 2.0, 0.22, j * 2.0]
+            b.add_sphere([0, 0, 0], 1.0, white if rng.random() < 0.5 else black,
+                         transform=t)
+    b.add_sphere([0, 14, -6], 3.0, light_material([1, 1, 1], 7.0))
+    b.set_environment(color=[0.1, 0.1, 0.12])
+    scene = b.build()
+    cam = Camera.look_at([0, 10, -13], [0, 0, 0], [0, 1, 0], 40.0)
+    return scene, cam, RenderConfig(width=width, height=height, spp=16), \
+        IntegratorConfig(max_bounces=3)
+
+
+@example("qbert")
+def qbert(width=448, height=448):
+    """Isometric cube pyramid (reference qbert)."""
+    rng = np.random.default_rng(23)
+    b = SceneBuilder()
+    palette = [0x334D5C, 0x45B29D, 0xEFC94C, 0xE27A3F, 0xDF5A49]
+    n = 7
+    for y in range(n):
+        for x in range(n - y):
+            for z in range(n - y):
+                if x + z >= n - y:
+                    continue
+                c = colorlib.hex_color(palette[int(rng.integers(len(palette)))])
+                b.add_cube([x + y * 0.5, y * 0.9, z + y * 0.5],
+                           [x + y * 0.5 + 0.95, y * 0.9 + 0.95, z + y * 0.5 + 0.95],
+                           diffuse_material(np.asarray(c)))
+    b.add_sphere([n, 3 * n, -n], 4.0, light_material([1, 1, 1], 5.0))
+    b.set_environment(color=[0.25, 0.3, 0.4])
+    scene = b.build()
+    cam = Camera.look_at([n * 2.2, n * 1.6, -n * 1.6], [n / 2, n / 3, n / 2],
+                         [0, 1, 0], 38.0)
+    return scene, cam, RenderConfig(width=width, height=height, spp=8), \
+        IntegratorConfig(max_bounces=3)
+
+
+@example("maze")
+def maze(width=512, height=384, n=21):
+    """Random wall maze of cubes (reference maze)."""
+    rng = np.random.default_rng(5)
+    b = SceneBuilder()
+    wall = diffuse_material([0.85, 0.83, 0.78])
+    floor = diffuse_material([0.2, 0.25, 0.3])
+    b.add_plane([0, 0, 0], [0, 1, 0], floor)
+    for i in range(n):
+        for j in range(n):
+            edge = i in (0, n - 1) or j in (0, n - 1)
+            if edge or ((i % 2 == 0 or j % 2 == 0) and rng.random() < 0.55):
+                x, z = i - n / 2, j - n / 2
+                b.add_cube([x, 0, z], [x + 1, 1.4, z + 1], wall)
+    b.add_sphere([0, 18, 0], 4.0, light_material([1, 1, 1], 6.0))
+    b.set_environment(color=[0.1, 0.12, 0.16])
+    scene = b.build()
+    cam = Camera.look_at([0, 22, -14], [0, 0, 0], [0, 1, 0], 45.0)
+    return scene, cam, RenderConfig(width=width, height=height, spp=8), \
+        IntegratorConfig(max_bounces=2)
+
+
+@example("sh")
+def sh(width=448, height=448):
+    """Spherical-harmonics lobe shape, two-material positive/negative lobes
+    (reference sh/shrender, SH.cs + Example.cs:942-975)."""
+    from ptsharp_tpu.geometry.sh_shape import add_sh_shape
+
+    b = SceneBuilder()
+    t = np.eye(4, dtype=np.float32)
+    t[:3, :3] *= 2.2
+    t[:3, 3] = [0, 1.4, 0]
+    add_sh_shape(
+        b, 3, 2,
+        glossy_material([0.8, 0.25, 0.2], 1.4, math.radians(15)),
+        glossy_material([0.2, 0.3, 0.8], 1.4, math.radians(15)),
+        transform=t, step=0.035,
+    )
+    b.add_plane([0, 0, 0], [0, 1, 0], diffuse_material([0.8, 0.8, 0.8]))
+    b.add_sphere([3, 6, -3], 1.5, light_material([1, 1, 1], 9.0))
+    b.set_environment(color=[0.09, 0.1, 0.12])
+    scene = b.build(leaf_size=8)
+    cam = Camera.look_at([0, 2.6, -4.5], [0, 1.2, 0], [0, 1, 0], 40.0)
+    return scene, cam, RenderConfig(width=width, height=height, spp=16), \
+        IntegratorConfig(max_bounces=3)
+
+
+@example("heightfield")
+def heightfield(width=512, height=384):
+    """z < f(x, y) terrain shape (reference Function.cs capability)."""
+    import jax.numpy as jnp
+
+    from ptsharp_tpu.geometry.function import Heightfield
+
+    def f(x, y):
+        return 0.6 * jnp.sin(x) * jnp.cos(y) + 0.2 * jnp.sin(3 * x) * jnp.sin(2 * y)
+
+    b = SceneBuilder()
+    hf = Heightfield(f=f, bmin=np.array([-4, -4, -2], np.float32),
+                     bmax=np.array([4, 4, 2], np.float32))
+    b.add_function(hf, glossy_material([0.4, 0.55, 0.35], 1.3, math.radians(25)))
+    b.add_sphere([5, 6, 8], 2.0, light_material([1, 1, 1], 8.0))
+    b.set_environment(color=[0.2, 0.25, 0.33])
+    scene = b.build()
+    cam = Camera.look_at([0, -8, 5], [0, 0, 0], [0, 0, 1], 42.0)
+    return scene, cam, RenderConfig(width=width, height=height, spp=8), \
+        IntegratorConfig(max_bounces=2)
+
+
+@example("love")
+def love(width=512, height=384):
+    """Heart-ish CSG of spheres + cube (reference love)."""
+    b = SceneBuilder()
+    red = glossy_material([0.8, 0.1, 0.15], 1.5, math.radians(20))
+    heart = sdf_mod.SdfUnion(
+        sdf_mod.SdfTransform(sdf_mod.SdfSphere(0.72),
+                             np.asarray(transform.translate(np.array([-0.45, 1.6, 0.0])))),
+        sdf_mod.SdfTransform(sdf_mod.SdfSphere(0.72),
+                             np.asarray(transform.translate(np.array([0.45, 1.6, 0.0])))),
+        sdf_mod.SdfTransform(
+            sdf_mod.SdfCube((1.35, 1.35, 1.0)),
+            np.asarray(
+                transform.mul(
+                    transform.translate(np.array([0.0, 0.9, 0.0])),
+                    transform.rotate(np.array([0.0, 0.0, 1.0]), math.pi / 4),
+                )
+            ),
+        ),
+    )
+    b.add_sdf(heart, red)
+    b.add_plane([0, 0, 0], [0, 1, 0], diffuse_material([0.9, 0.88, 0.86]))
+    b.add_sphere([3, 6, -4], 1.5, light_material([1, 1, 1], 9.0))
+    b.set_environment(color=[0.12, 0.1, 0.12])
+    scene = b.build()
+    cam = Camera.look_at([0, 2.2, -5], [0, 1.1, 0], [0, 1, 0], 38.0)
+    return scene, cam, RenderConfig(width=width, height=height, spp=16), \
+        IntegratorConfig(max_bounces=3)
+
+
+def beads_frame(frame: int, n_frames: int = 30, width=320, height=240):
+    """One frame of the beads animation (reference beads/Frame,
+    Example.cs:163-223): spiral of glossy beads rotating over time."""
+    rng = np.random.default_rng(11)
+    phase = 2.0 * math.pi * frame / n_frames
+    b = SceneBuilder()
+    b.add_plane([0, 0, 0], [0, 1, 0], diffuse_material([0.8, 0.8, 0.8]))
+    for i in range(40):
+        a = i * 0.31 + phase
+        r = 0.6 + i * 0.08
+        y = 0.35 + 0.15 * math.sin(a * 3)
+        c = colorlib.hex_color([0x45B29D, 0xEFC94C, 0xE27A3F][i % 3])
+        b.add_sphere([r * math.cos(a), y, r * math.sin(a)], 0.3,
+                     glossy_material(np.asarray(c), 1.4, math.radians(15)))
+    b.add_sphere([3, 7, -3], 1.5, light_material([1, 1, 1], 9.0))
+    b.set_environment(color=[0.1, 0.11, 0.14])
+    scene = b.build()
+    cam = Camera.look_at([0, 4, -7], [0, 0.5, 0], [0, 1, 0], 40.0)
+    return scene, cam, RenderConfig(width=width, height=height, spp=8), \
+        IntegratorConfig(max_bounces=3)
+
+
+def render_animation(frames: int, out_template: str = "beads_%03d.png",
+                     **kw):
+    """Frame-loop rendering (reference Frame/IterativeRender animation use)."""
+    import jax
+
+    from ptsharp_tpu.renderer import Renderer
+
+    for f in range(frames):
+        scene, cam, rcfg, icfg = beads_frame(f, frames, **kw)
+        r = Renderer(scene, cam, rcfg, icfg)
+        film = r.render(key=jax.random.PRNGKey(f))
+        from ptsharp_tpu.film import save_png
+
+        save_png(film.color_srgb(), out_template % f)
+
+
 def build(name: str, **kw):
     return CATALOG[name](**kw)
 

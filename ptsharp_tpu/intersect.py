@@ -20,11 +20,13 @@ import jax
 import jax.numpy as jnp
 
 from ptsharp_tpu.core import vec
+from ptsharp_tpu.geometry import function as fn_mod
 from ptsharp_tpu.geometry import primitives, sdf as sdf_mod, volume as vol_mod
 from ptsharp_tpu.accel import traverse
 from ptsharp_tpu.scene import (
     PT_CUBE,
     PT_CYLINDER,
+    PT_FUNCTION,
     PT_NONE,
     PT_PLANE,
     PT_SDF,
@@ -184,6 +186,15 @@ def closest_hit(scene: SceneData, org, dirn) -> Hit:
         t = vol_mod.intersect(scene.volume_data[i], vol, org, dirn, te, tx)
         take(t, PT_VOLUME, jnp.int32(i))
 
+    # --- heightfield functions --------------------------------------------
+    for i, (hf, _mid) in enumerate(scene.functions):
+        lo_a = jnp.asarray(hf.bmin, jnp.float32)
+        hi_a = jnp.asarray(hf.bmax, jnp.float32)
+        te, tx = primitives.box_entry_exit(org, dirn, lo_a, hi_a)
+        tx = jnp.minimum(tx, best_t)
+        t = fn_mod.intersect(hf, org, dirn, te, tx)
+        take(t, PT_FUNCTION, jnp.int32(i))
+
     return Hit(best_t, best_type, best_idx, best_inst, best_u, best_v)
 
 
@@ -325,6 +336,11 @@ def hit_info(scene: SceneData, org, dirn, hit: Hit) -> HitInfo:
         n = vol_mod.normal_at(scene.volume_data[i], vol, pos)
         vm = vol_mod.material_at(scene.volume_data[i], vol, pos)
         sel(m, n, vm)
+
+    for i, (hf, mid) in enumerate(scene.functions):
+        m = (hit.ptype == PT_FUNCTION) & (hit.pindex == i)
+        n = fn_mod.normal_at(hf, pos)
+        sel(m, n, jnp.int32(mid))
 
     # normal flip toward the ray + inside flag (Hit.cs:36-47); SDF and
     # volume shapes never report inside.

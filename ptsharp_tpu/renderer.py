@@ -23,6 +23,7 @@ import numpy as np
 
 from ptsharp_tpu.camera import Camera
 from ptsharp_tpu.core import color as colorlib
+from ptsharp_tpu.core import filters
 from ptsharp_tpu.film import Film, save_png
 from ptsharp_tpu.integrator import IntegratorConfig, trace
 from ptsharp_tpu.scene import SceneData
@@ -39,6 +40,7 @@ class RenderConfig:
     adaptive_exponent: float = 1.0
     firefly_samples: int = 0  # extra samples for firefly pixels
     firefly_threshold: float = 1.0
+    filter: str = "box"  # pixel reconstruction filter (box/triangle/gaussian)
     max_rays_per_chunk: int = 1 << 21  # wavefront width bound (memory knob)
 
 
@@ -119,6 +121,11 @@ class Renderer:
                 weight = jnp.ones((spp, rows, w), jnp.float32)
             else:
                 weight = weight_rows
+            if cfg.filter != filters.BOX:
+                # reconstruction-filter weighting by subpixel offset
+                # (TriangleFilter capability, BASELINE config #5)
+                fw = filters.evaluate(cfg.filter, ju - 0.5, jv - 0.5)
+                weight = weight * fw.reshape(spp, rows, w)
             chunk = chunk.add_batch(radiance, weight, albedo, normal)
             return chunk, result.rays_traced
 
@@ -135,6 +142,7 @@ class Renderer:
         rows_per = self._rows_per_chunk(spp)
         n_chunks = -(-cfg.height // rows_per)
         keys = jax.random.split(key, n_chunks)
+        ray_counts = []
         for ci in range(n_chunks):
             row0 = ci * rows_per
             rows = min(rows_per, cfg.height - row0)
@@ -143,7 +151,10 @@ class Renderer:
                 self.scene, self.camera, keys[ci], row0, rows, spp, wr
             )
             film = _merge_rows(film, row0, chunk)
-            self.rays_traced += int(rays)
+            ray_counts.append(rays)
+        # single host sync per pass (per-chunk blocking would serialize the
+        # device pipeline behind dispatch latency)
+        self.rays_traced += int(sum(int(r) for r in ray_counts))
         return film
 
     # -- public API --------------------------------------------------------
@@ -192,6 +203,7 @@ class Renderer:
         verbose: bool = False,
         checkpoint_path: str | None = None,
         checkpoint_every: int = 0,
+        viewer=None,
     ) -> Film:
         """Progressive refinement loop (IterativeRender, Renderer.cs:702-765):
         the film accumulates across iterations; each iteration optionally
@@ -230,6 +242,9 @@ class Renderer:
                 from ptsharp_tpu.checkpoint import save_checkpoint
 
                 save_checkpoint(checkpoint_path, film, it + 1, key)
+            if viewer is not None:
+                # live preview (the Program.Bitmap analogue)
+                viewer.update(film.color_srgb())
         if denoise:
             from ptsharp_tpu.denoise import denoise_film
 

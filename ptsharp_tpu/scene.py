@@ -39,6 +39,7 @@ PT_CYLINDER = 4
 PT_TRIANGLE = 5
 PT_SDF = 6
 PT_VOLUME = 7
+PT_FUNCTION = 8
 
 _DATA_FIELDS = [
     "sphere_center", "sphere_radius", "sphere_inv", "sphere_world", "sphere_mat",
@@ -56,8 +57,8 @@ _DATA_FIELDS = [
     "volume_data",
 ]
 _META_FIELDS = [
-    "sdf_objects", "volumes", "sphere_xform", "cube_xform", "cyl_xform",
-    "max_leaf", "env_texture", "has_surface_maps",
+    "sdf_objects", "volumes", "functions", "sphere_xform", "cube_xform",
+    "cyl_xform", "max_leaf", "env_texture", "has_surface_maps",
 ]
 
 
@@ -129,6 +130,7 @@ class SceneData:
     # --- static metadata ---
     sdf_objects: tuple  # tuple of (Sdf, mat_id, bmin_tuple, bmax_tuple)
     volumes: tuple      # tuple of VolumeGrid (identity-hashed)
+    functions: tuple    # tuple of (Heightfield, mat_id)
     sphere_xform: bool
     cube_xform: bool
     cyl_xform: bool
@@ -164,6 +166,7 @@ class SceneBuilder:
         self._instances = []  # (mesh_idx, inv, world, mat_override)
         self._sdfs = []
         self._volumes = []
+        self._functions = []
         self._lights = []     # (ptype, pindex, center, radius, mat)
         self._textures: list[np.ndarray] = []
         self.env_color = np.zeros(3, np.float32)
@@ -302,6 +305,12 @@ class SceneBuilder:
             radius = 0.5 * float(np.linalg.norm(np.asarray(hi) - np.asarray(lo)))
             self._lights.append((PT_SDF, idx, center.astype(np.float32), radius, mid))
         return idx
+
+    def add_function(self, heightfield, material: Material) -> int:
+        """Register a z < f(x, y) heightfield shape (Function.cs parity)."""
+        mid = self.material_id(material)
+        self._functions.append((heightfield, mid))
+        return len(self._functions) - 1
 
     def add_volume(self, volume) -> int:
         """volume: geometry.volume.VolumeGrid whose windows carry material
@@ -452,6 +461,7 @@ class SceneBuilder:
             volume_data=tuple(jnp.asarray(v.data) for v in self._volumes),
             sdf_objects=tuple(self._sdfs),
             volumes=tuple(self._volumes),
+            functions=tuple(self._functions),
             sphere_xform=sphere_x,
             cube_xform=cube_x,
             cyl_xform=cyl_x,
