@@ -61,12 +61,28 @@ def morton3(points01: np.ndarray) -> np.ndarray:
     )
 
 
-def build(tri_bmin: np.ndarray, tri_bmax: np.ndarray, leaf_size: int = 8) -> FlatBVH:
+def build(tri_bmin: np.ndarray, tri_bmax: np.ndarray, leaf_size: int = 8,
+          method: str = "auto") -> FlatBVH:
     """Build from per-triangle AABBs (T, 3). Returns flattened arrays plus
     the triangle permutation (callers must reorder their vertex/attribute
-    arrays by `order` so leaf blocks are contiguous)."""
+    arrays by `order` so leaf blocks are contiguous).
+
+    method: "auto" prefers the native binned-SAH builder
+    (native/bvh_builder.cpp, ~25% fewer node visits than Morton) and falls
+    back to the pure-Python Morton LBVH; "morton"/"sah" force a builder.
+    """
     t = tri_bmin.shape[0]
     assert t > 0, "empty BVH"
+
+    if method in ("auto", "sah"):
+        from ptsharp_tpu.accel import native
+
+        out = native.build_bvh_sah(tri_bmin, tri_bmax, leaf_size)
+        if out is not None:
+            bmin, bmax, first, count, skip, order = out
+            return FlatBVH(bmin, bmax, first, count, skip, order, leaf_size)
+        if method == "sah":
+            raise RuntimeError("native SAH builder unavailable")
     centroids = 0.5 * (tri_bmin + tri_bmax)
     lo = centroids.min(axis=0)
     hi = centroids.max(axis=0)
