@@ -279,11 +279,17 @@ def trace(
     )
     rays = jnp.int32(0)
 
-    def step(state, rays, depth_key, u1, u2, force_mode, depth_static):
+    def step(state, rays, depth_key, u1, u2, force_mode, depth_static,
+             pre_hit=None, count_primary=True):
         """One wavefront bounce. Returns (state, rays, first_albedo,
-        first_normal)."""
-        hit = closest_hit(scene, state.org, state.dirn)
-        rays = rays + jnp.sum(state.alive.astype(jnp.int32))
+        first_normal). pre_hit lets the SpecularModeFirst branch split share
+        one primary closest-hit between its two branches (Sampler.cs:85-131
+        re-traces; we don't)."""
+        hit = pre_hit if pre_hit is not None else closest_hit(
+            scene, state.org, state.dirn
+        )
+        if count_primary:
+            rays = rays + jnp.sum(state.alive.astype(jnp.int32))
         info = hit_info(scene, state.org, state.dirn, hit)
         mat = scene.materials.gather(info.mat_id)
         color = _resolve_color(scene, mat, info)
@@ -372,9 +378,12 @@ def trace(
         u1, u2 = ju, jv
 
     if cfg.specular_mode == SPECULAR_MODE_FIRST:
-        sa, ra0, alb, nrm = step(state, rays, k0a, u1, u2, "diffuse", 0)
+        hit0 = closest_hit(scene, state.org, state.dirn)
+        sa, ra0, alb, nrm = step(state, rays, k0a, u1, u2, "diffuse", 0,
+                                 pre_hit=hit0)
         kb0 = jax.random.fold_in(k0a, 1)
-        sb, rb0, _, _ = step(state, rays, kb0, u1, u2, "specular", 0)
+        sb, rb0, _, _ = step(state, rays, kb0, u1, u2, "specular", 0,
+                             pre_hit=hit0, count_primary=False)
         states = [sa, sb]
         rays = ra0 + rb0
     else:

@@ -215,13 +215,21 @@ class SceneBuilder:
         return idx
 
     def add_plane(self, point, normal, material: Material) -> int:
+        # An infinite plane has no finite light geometry: the reference
+        # silently samples its infinite bounding box (Sampler.cs:231-233 via
+        # Plane.cs:31-34), which degenerates to full-coverage light from any
+        # point. Reject instead; use an emissive quad mesh (quad_mesh) or a
+        # thin cube for an area light.
+        if material.emittance > 0:
+            raise ValueError(
+                "emissive infinite planes are not supported as NEE lights; "
+                "use an emissive quad mesh or thin cube instead"
+            )
         mid = self.material_id(material)
         idx = len(self._planes)
         n = np.asarray(normal, np.float32)
         n = n / max(np.linalg.norm(n), 1e-20)
         self._planes.append((np.asarray(point, np.float32), n, mid))
-        # planes as lights are degenerate; reference uses bbox outer radius
-        self._register_light(PT_PLANE, idx, point, 1e9, mid, material)
         return idx
 
     def add_cube(self, bmin, bmax, material: Material, transform=None) -> int:
