@@ -1,13 +1,26 @@
-"""Benchmark harness: Mrays/s/chip on the Cornell flagship scene.
+"""Benchmark harness: Mrays/s/chip at 1080p.
 
-Prints ONE JSON line:
-  {"metric": "Mrays_per_s_per_chip_cornell_1080p",
-   "value": N, "unit": "Mrays/s", "vs_baseline": N}
+Prints one JSON line per benchmark config (the headline first):
+  {"metric": "Mrays_per_s_per_chip_cornell_1080p", "value": N,
+   "unit": "Mrays/s", "vs_baseline": N}
+  {"metric": "Mrays_per_s_per_chip_bunny82k_1080p", ...}
+  {"metric": "Mrays_per_s_fwd_bwd_cornell", ...}
 
-vs_baseline is measured against the BASELINE.json per-chip target implied
-by ">= 1 Grays/s aggregate on v5e-16": 1000/16 = 62.5 Mrays/s/chip.
-Runs on the default backend (the TPU tunnel when present); a warmup pass
-excludes compile time from the measurement.
+vs_baseline measures against the BASELINE.json per-chip target implied by
+">= 1 Grays/s aggregate on v5e-16": 1000/16 = 62.5 Mrays/s/chip.
+
+Configs:
+  cornell  — BASELINE config #2 (area-light NEE, specular/refractive
+             spheres); analytic primitives only.
+  bunny    — BASELINE config #3: 81,920-triangle textured mesh, flattened
+             BVH traversal (the hottest kernel).
+  grad     — forward+backward differentiable render step (north star:
+             "forward+backward kernels at speed-of-light per chip").
+
+Chunks cycle over *distinct* pixel blocks so the whole image contributes
+(no fixed-row re-tracing); a warmup pass excludes compile time. Chunks are
+dispatched without per-chunk blocking so device work pipelines — the
+renderer drives the device the same way.
 """
 
 from __future__ import annotations
@@ -21,16 +34,21 @@ import jax.numpy as jnp
 BASELINE_MRAYS_PER_CHIP = 62.5  # 1 Grays/s / 16 chips (BASELINE.json target)
 
 
-def run(width=1920, height=1080, spp=64, warmup_spp=4):
+def _pixel_chunk(ci, pix_per_chunk, width, height):
+    n_pixels = width * height
+    start = (ci * pix_per_chunk) % n_pixels
+    xs = (start + jnp.arange(pix_per_chunk, dtype=jnp.int32)) % n_pixels
+    return xs % width, xs // width
+
+
+def run_scene(name, width=1920, height=1080, spp=64, max_measured_chunks=16,
+              **scene_kw):
     from ptsharp_tpu import examples
     from ptsharp_tpu.integrator import trace
-    from ptsharp_tpu.camera import Camera
 
-    scene, cam, _rcfg, icfg = examples.build("cornell")
+    scene, cam, _rcfg, icfg = examples.build(name, **scene_kw)
 
-    rays_per_chunk = 1 << 20
-    n_pixels = width * height
-    total_rays_primary = n_pixels * spp
+    pix_per_chunk = 1 << 20
 
     @jax.jit
     def render_chunk(key, pix_x, pix_y):
@@ -41,45 +59,85 @@ def run(width=1920, height=1080, spp=64, warmup_spp=4):
         result = trace(scene, icfg, org, dirn, kt)
         return jnp.sum(result.radiance), result.rays_traced
 
-    # chunk = a block of pixels x samples
-    pix_per_chunk = rays_per_chunk
-    xs = jnp.arange(pix_per_chunk, dtype=jnp.int32)
-    pix_x = xs % width
-    pix_y = (xs // width) % height
-
-    # warmup (compile)
-    out = render_chunk(jax.random.PRNGKey(999), pix_x, pix_y)
+    px0, py0 = _pixel_chunk(0, pix_per_chunk, width, height)
+    out = render_chunk(jax.random.PRNGKey(999), px0, py0)
     jax.block_until_ready(out)
 
+    total_rays_primary = width * height * spp
     n_chunks = max(1, total_rays_primary // pix_per_chunk)
-    # measure a capped number of chunks and extrapolate (full 1080p@64spp is
-    # 132M primary rays; timing stabilizes after a few chunks). Chunks are
-    # dispatched without per-chunk blocking so device work pipelines — the
-    # renderer runs the same way.
-    measured_chunks = min(n_chunks, 16)
+    measured = min(n_chunks, max_measured_chunks)
     t0 = time.time()
     outs = []
-    for i in range(measured_chunks):
-        s, traced = render_chunk(jax.random.PRNGKey(i), pix_x, pix_y)
+    for i in range(measured):
+        px, py = _pixel_chunk(i, pix_per_chunk, width, height)
+        _s, traced = render_chunk(jax.random.PRNGKey(i), px, py)
         outs.append(traced)
     total_traced = sum(int(t) for t in outs)  # blocks once at the end
     dt = time.time() - t0
-    mrays = total_traced / dt / 1e6
-    return mrays, total_traced, dt
+    return total_traced / dt / 1e6
+
+
+def run_grad(width=640, height=360, chunks=8):
+    """Forward+backward Mrays/s: gradient of the mean image luminance w.r.t.
+    the material table (the differentiable train-step shape of
+    parallel/shard.py)."""
+    from ptsharp_tpu import examples
+    from ptsharp_tpu.integrator import trace
+
+    scene, cam, _rcfg, icfg = examples.build("cornell")
+    pix_per_chunk = 1 << 18
+
+    from dataclasses import replace
+
+    def loss_fn(colors, key, pix_x, pix_y):
+        mats = scene.materials._replace(color=colors)
+        s = replace(scene, materials=mats)
+        r = pix_x.shape[0]
+        kj, kt = jax.random.split(key)
+        ju, jv = jax.random.uniform(kj, (2, r))
+        org, dirn = cam.cast_rays(pix_x, pix_y, width, height, ju, jv)
+        result = trace(s, icfg, org, dirn, kt)
+        return jnp.mean(result.radiance), result.rays_traced
+
+    grad_fn = jax.jit(jax.grad(loss_fn, has_aux=True))
+    px0, py0 = _pixel_chunk(0, pix_per_chunk, width, height)
+    out = grad_fn(scene.materials.color, jax.random.PRNGKey(99), px0, py0)
+    jax.block_until_ready(out)
+
+    t0 = time.time()
+    outs = []
+    for i in range(chunks):
+        px, py = _pixel_chunk(i, pix_per_chunk, width, height)
+        _g, traced = grad_fn(scene.materials.color, jax.random.PRNGKey(i), px, py)
+        outs.append(traced)
+    total = sum(int(t) for t in outs)
+    dt = time.time() - t0
+    # rays_traced counts forward rays; backward replays them, so report
+    # forward-equivalent throughput of the fused fwd+bwd step
+    return total / dt / 1e6
 
 
 def main():
-    mrays, traced, dt = run()
-    print(
-        json.dumps(
-            {
-                "metric": "Mrays_per_s_per_chip_cornell_1080p",
-                "value": round(mrays, 2),
-                "unit": "Mrays/s",
-                "vs_baseline": round(mrays / BASELINE_MRAYS_PER_CHIP, 3),
-            }
-        )
-    )
+    results = []
+    for metric, fn in [
+        ("Mrays_per_s_per_chip_cornell_1080p", lambda: run_scene("cornell")),
+        ("Mrays_per_s_per_chip_bunny82k_1080p", lambda: run_scene("bunny")),
+        ("Mrays_per_s_fwd_bwd_cornell", run_grad),
+    ]:
+        try:
+            mrays = fn()
+            results.append(
+                {
+                    "metric": metric,
+                    "value": round(mrays, 2),
+                    "unit": "Mrays/s",
+                    "vs_baseline": round(mrays / BASELINE_MRAYS_PER_CHIP, 3),
+                }
+            )
+        except Exception as e:  # pragma: no cover
+            results.append({"metric": metric, "error": str(e)[:200]})
+    for r in results:
+        print(json.dumps(r))
 
 
 if __name__ == "__main__":

@@ -149,6 +149,65 @@ def mesh_scene(width=512, height=512, subdivisions=4):
         IntegratorConfig(max_bounces=3)
 
 
+def _bunny_mesh(subdivisions: int = 6, seed: int = 11) -> TriMesh:
+    """Procedural bunny-class mesh: an icosphere displaced by a band of
+    sines (irregular triangle sizes + concavities — the BVH stress the
+    reference gets from the 70k-tri bunny OBJ, Example.cs:1084; no OBJ
+    assets ship with this image so the stand-in is generated). subdiv 6 =
+    81,920 triangles."""
+    m = sphere_mesh([0, 0, 0], 1.0, subdivisions=subdivisions)
+    v = m.v.reshape(-1, 3).astype(np.float64)
+    d = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+    x, y, z = d[:, 0], d[:, 1], d[:, 2]
+    disp = (
+        0.16 * np.sin(5.1 * x + 1.3) * np.sin(4.3 * y)
+        + 0.11 * np.sin(7.7 * z + 0.5) * np.cos(6.1 * x)
+        + 0.07 * np.sin(11.0 * y + 2.1) * np.sin(9.0 * z)
+        + 0.23 * np.exp(-18.0 * ((x - 0.25) ** 2 + (y - 0.85) ** 2 + z**2))
+        + 0.23 * np.exp(-18.0 * ((x + 0.25) ** 2 + (y - 0.85) ** 2 + z**2))
+    )
+    r = 1.0 + disp
+    # squash into a seated-blob silhouette
+    v2 = d * r[:, None]
+    v2[:, 1] *= 0.92
+    new_v = v2.reshape(-1, 3, 3).astype(np.float32)
+    # spherical UVs for texturing
+    uv = np.stack(
+        [
+            0.5 + np.arctan2(z, x) / (2 * np.pi),
+            0.5 + np.arcsin(np.clip(y, -1, 1)) / np.pi,
+        ],
+        axis=-1,
+    ).astype(np.float32).reshape(-1, 3, 2)
+    return TriMesh(v=new_v, n=m.n, uv=uv).smooth_normals()
+
+
+@example("bunny")
+def bunny(width=1920, height=1080, subdivisions: int = 6):
+    """BASELINE config #3: a bunny-class triangle mesh (81,920 tris) with a
+    procedural marble texture, flattened-BVH traversal, 1080p (reference
+    bunny, Example.cs:1084-1102)."""
+    b = SceneBuilder()
+    # procedural marble texture (map_Kd path: bilinear atlas sampling)
+    ty, tx = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+    vein = np.sin(tx * 0.35 + 3.0 * np.sin(ty * 0.12)) * 0.5 + 0.5
+    tex = (0.45 + 0.5 * vein[..., None] * np.array([0.9, 0.85, 0.75]))
+    tid = b.add_texture(np.clip(tex, 0, 1).astype(np.float32))
+    from ptsharp_tpu.materials import Material
+
+    mat = Material(color=(0.7, 0.65, 0.55), texture=tid)
+    m = _bunny_mesh(subdivisions)
+    m = m.fit_inside([-1, 0, -1], [1, 2, 1], [0.5, 0.0, 0.5])
+    b.add_mesh(m, mat)
+    b.add_plane([0, 0, 0], [0, 1, 0], diffuse_material([0.75, 0.72, 0.68]))
+    b.add_sphere([3.5, 6, -3], 1.6, light_material([1, 1, 1], 9.0))
+    b.set_environment(color=[0.10, 0.11, 0.14])
+    scene = b.build(leaf_size=8)
+    cam = Camera.look_at([0, 1.8, -4.2], [0, 0.9, 0], [0, 1, 0], 38.0)
+    return scene, cam, RenderConfig(width=width, height=height, spp=16), \
+        IntegratorConfig(max_bounces=4)
+
+
 @example("ellipsoid")
 def ellipsoid(width=512, height=384):
     """Non-uniformly scaled sphere instancing (reference ellipsoid,

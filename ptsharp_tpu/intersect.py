@@ -27,6 +27,7 @@ from ptsharp_tpu.scene import (
     PT_CUBE,
     PT_CYLINDER,
     PT_FUNCTION,
+    PT_INSTANCE,
     PT_NONE,
     PT_PLANE,
     PT_SDF,
@@ -37,6 +38,66 @@ from ptsharp_tpu.scene import (
 )
 
 INF = vec.INF
+
+
+# ---------------------------------------------------------------------------
+# Elementwise single-primitive tests (per-ray gathered parameters): org/dirn
+# (R, 3) against per-ray primitive params. Same math as the batched tables in
+# geometry/primitives.py but broadcast ray-wise for TLAS leaf visits.
+# ---------------------------------------------------------------------------
+
+
+def _sphere_t1(o, d, c, rad):
+    oc = o - c
+    a = jnp.sum(d * d, axis=-1)
+    b = 2.0 * jnp.sum(oc * d, axis=-1)
+    cq = jnp.sum(oc * oc, axis=-1) - rad * rad
+    disc = b * b - 4.0 * a * cq
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    inv2a = 0.5 / jnp.maximum(a, 1e-30)
+    t0 = (-b - sq) * inv2a
+    t1 = (-b + sq) * inv2a
+    t = jnp.where(t0 > primitives.EPS_T, t0,
+                  jnp.where(t1 > primitives.EPS_T, t1, INF))
+    return jnp.where(disc > 0.0, t, INF)
+
+
+def _cube_t1(o, d, lo, hi):
+    invd = primitives._safe_div(jnp.ones_like(d), d)
+    n = (lo - o) * invd
+    f = (hi - o) * invd
+    t0 = jnp.max(jnp.minimum(n, f), axis=-1)
+    t1 = jnp.min(jnp.maximum(n, f), axis=-1)
+    ok = (t0 > primitives.EPS_T) & (t0 < t1)
+    return jnp.where(ok, t0, INF)
+
+
+def _cyl_t1(o, d, rad, z0, z1):
+    tz0 = primitives._safe_div(z0 - o[..., 2], d[..., 2])
+    tz1 = primitives._safe_div(z1 - o[..., 2], d[..., 2])
+
+    def cap_ok(tc):
+        px = o[..., 0] + d[..., 0] * tc
+        py = o[..., 1] + d[..., 1] * tc
+        return (tc > primitives.EPS_T) & (px * px + py * py <= rad * rad)
+
+    t_top = jnp.where(cap_ok(tz1), tz1, INF)
+    t_bot = jnp.where(cap_ok(tz0), tz0, INF)
+    a = d[..., 0] ** 2 + d[..., 1] ** 2
+    b = 2.0 * (o[..., 0] * d[..., 0] + o[..., 1] * d[..., 1])
+    c = o[..., 0] ** 2 + o[..., 1] ** 2 - rad * rad
+    disc = b * b - 4.0 * a * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    inv2a = 0.5 / jnp.maximum(a, 1e-30)
+    tl0 = (-b - sq) * inv2a
+    tl1 = (-b + sq) * inv2a
+
+    def lat_ok(tl):
+        z = o[..., 2] + d[..., 2] * tl
+        return (tl > primitives.EPS_T) & (z >= z0) & (z <= z1) & (disc >= 0.0)
+
+    t_lat = jnp.where(lat_ok(tl0), tl0, jnp.where(lat_ok(tl1), tl1, INF))
+    return jnp.minimum(jnp.minimum(t_top, t_bot), t_lat)
 
 
 class Hit(NamedTuple):
@@ -78,6 +139,214 @@ def _xform_normal(aff_inv, n):
     return vec.normalize(jnp.einsum("...ji,...j->...i", aff_inv[..., :3], n))
 
 
+def traverse_scene(scene: SceneData, org_w, dir_w, t_max, max_iters: int = 65536):
+    """Unified single-pass traversal of the whole scene accelerator: a TLAS
+    over analytic primitives + mesh instances whose instance leaves re-enter
+    the per-mesh BLAS (the flattened replacement for the reference's
+    top-level k-d tree, Tree.cs:22-42 / Scene.cs:56-66, plus
+    TransformedShape re-entry, TransformedShape.cs:43-72).
+
+    One int32 cursor per ray walks the unified node array [u_* fields];
+    entering an instance leaf swaps the ray into object space and jumps to
+    the BLAS range, and a one-deep return slot pops back to the TLAS when
+    the BLAS finishes. t is parametric in the *world* direction scale (local
+    directions are unnormalized), so comparisons across spaces are exact.
+
+    Returns (t, kind, index, inst, u, v); kind == PT_NONE where nothing beat
+    t_max.
+    """
+    # discrete traversal is detached (gradients flow via shading)
+    org_w = jax.lax.stop_gradient(org_w)
+    dir_w = jax.lax.stop_gradient(dir_w)
+    t_max = jax.lax.stop_gradient(t_max)
+    r = org_w.shape[0]
+    tlas_end = scene.tlas_end
+    assert tlas_end > 0, "traverse_scene requires a built TLAS"
+    leaf = scene.max_leaf
+    n_inst = scene.inst_inv.shape[0]
+    has_sph = scene.sphere_center.shape[0] > 0
+    has_cube = scene.cube_min.shape[0] > 0
+    has_cyl = scene.cyl_radius.shape[0] > 0
+    has_tri = scene.tri_v0.shape[0] > 0 and n_inst > 0
+
+    def cond(s):
+        idx, _ret, inst, *_rest, it = s
+        return jnp.logical_and(
+            jnp.any((inst >= 0) | (idx < tlas_end)), it < max_iters
+        )
+
+    def body(s):
+        idx, ret, inst, bend, o_l, d_l, bt, bk, bi, binst, bu, bv, it = s
+        active = (inst >= 0) | (idx < tlas_end)
+        safe = jnp.where(active, idx, 0)
+        k = scene.u_kind[safe]
+        skp = scene.u_skip[safe]
+        first = scene.u_first[safe]
+        cnt = scene.u_count[safe]
+        nb_min = scene.u_bmin[safe]
+        nb_max = scene.u_bmax[safe]
+
+        inv_d = 1.0 / jnp.where(
+            jnp.abs(d_l) < 1e-30, jnp.where(d_l < 0, -1e-30, 1e-30), d_l
+        )
+        slo = (nb_min - o_l) * inv_d
+        shi = (nb_max - o_l) * inv_d
+        tmin = jnp.max(jnp.minimum(slo, shi), axis=-1)
+        tmax = jnp.min(jnp.maximum(slo, shi), axis=-1)
+        box_hit = active & (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < bt)
+
+        # --- triangle leaf: fixed-width Möller–Trumbore block -------------
+        if has_tri:
+            do_tri = box_hit & (k == PT_TRIANGLE)
+            start = jnp.where(do_tri, first, 0)
+            offs = jax.lax.broadcasted_iota(jnp.int32, (r, leaf), 1)
+            tidx = jnp.clip(start[:, None] + offs, 0, scene.tri_v0.shape[0] - 1)
+            tv0 = scene.tri_v0[tidx]
+            te1 = scene.tri_e1[tidx]
+            te2 = scene.tri_e2[tidx]
+            d3 = d_l[:, None, :]
+            o3 = o_l[:, None, :]
+            h = jnp.cross(d3, te2)
+            det = jnp.sum(te1 * h, axis=-1)
+            inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+            sv = o3 - tv0
+            u = jnp.sum(sv * h, axis=-1) * inv_det
+            q = jnp.cross(sv, te1)
+            v = jnp.sum(d3 * q, axis=-1) * inv_det
+            t = jnp.sum(te2 * q, axis=-1) * inv_det
+            lane = offs
+            ok = (
+                do_tri[:, None]
+                & (lane < cnt[:, None])
+                & (jnp.abs(det) > 1e-12)
+                & (u >= 0.0) & (u <= 1.0)
+                & (v >= 0.0) & (u + v <= 1.0)
+                & (t > primitives.EPS_T)
+                & (t < bt[:, None])
+            )
+            t_ok = jnp.where(ok, t, INF)
+            lane_best = jnp.argmin(t_ok, axis=-1)
+            t_lane = jnp.min(t_ok, axis=-1)
+            selm = lane == lane_best[:, None]
+            u_lane = jnp.sum(jnp.where(selm, u, 0.0), axis=-1)
+            v_lane = jnp.sum(jnp.where(selm, v, 0.0), axis=-1)
+            got = t_lane < bt
+            bt = jnp.where(got, t_lane, bt)
+            bk = jnp.where(got, PT_TRIANGLE, bk)
+            bi = jnp.where(got, start + lane_best, bi)
+            binst = jnp.where(got, inst, binst)
+            bu = jnp.where(got, u_lane, bu)
+            bv = jnp.where(got, v_lane, bv)
+
+        # --- analytic singleton leaves (world space; never inside a BLAS) -
+        if has_sph:
+            do_s = box_hit & (k == PT_SPHERE)
+            pi = jnp.clip(first, 0, scene.sphere_center.shape[0] - 1)
+            c = scene.sphere_center[pi]
+            rad = scene.sphere_radius[pi]
+            if scene.sphere_xform:
+                invm = scene.sphere_inv[pi]
+                o_s = _xform_point(invm, o_l)
+                d_s = _xform_dir(invm, d_l)
+            else:
+                o_s, d_s = o_l, d_l
+            t = _sphere_t1(o_s, d_s, c, rad)
+            got = do_s & (t < bt)
+            bt = jnp.where(got, t, bt)
+            bk = jnp.where(got, PT_SPHERE, bk)
+            bi = jnp.where(got, first, bi)
+            binst = jnp.where(got, -1, binst)
+
+        if has_cube:
+            do_c = box_hit & (k == PT_CUBE)
+            pi = jnp.clip(first, 0, scene.cube_min.shape[0] - 1)
+            clo = scene.cube_min[pi]
+            chi = scene.cube_max[pi]
+            if scene.cube_xform:
+                invm = scene.cube_inv[pi]
+                o_c = _xform_point(invm, o_l)
+                d_c = _xform_dir(invm, d_l)
+            else:
+                o_c, d_c = o_l, d_l
+            t = _cube_t1(o_c, d_c, clo, chi)
+            got = do_c & (t < bt)
+            bt = jnp.where(got, t, bt)
+            bk = jnp.where(got, PT_CUBE, bk)
+            bi = jnp.where(got, first, bi)
+            binst = jnp.where(got, -1, binst)
+
+        if has_cyl:
+            do_y = box_hit & (k == PT_CYLINDER)
+            pi = jnp.clip(first, 0, scene.cyl_radius.shape[0] - 1)
+            rad = scene.cyl_radius[pi]
+            z0 = scene.cyl_z0[pi]
+            z1 = scene.cyl_z1[pi]
+            if scene.cyl_xform:
+                invm = scene.cyl_inv[pi]
+                o_y = _xform_point(invm, o_l)
+                d_y = _xform_dir(invm, d_l)
+            else:
+                o_y, d_y = o_l, d_l
+            t = _cyl_t1(o_y, d_y, rad, z0, z1)
+            got = do_y & (t < bt)
+            bt = jnp.where(got, t, bt)
+            bk = jnp.where(got, PT_CYLINDER, bk)
+            bi = jnp.where(got, first, bi)
+            binst = jnp.where(got, -1, binst)
+
+        # --- advance cursor / enter-exit BLAS ------------------------------
+        descend = box_hit & (k == PT_NONE)
+        nxt = jnp.where(descend, idx + 1, skp)
+        if n_inst > 0:
+            enter = box_hit & (k == PT_INSTANCE)
+            ii = jnp.clip(first, 0, n_inst - 1)
+            base = scene.u_inst_base[ii]
+            iend = scene.u_inst_end[ii]
+            invm = scene.inst_inv[ii]
+            o_i = _xform_point(invm, org_w)
+            d_i = _xform_dir(invm, dir_w)
+            nxt = jnp.where(enter, base, nxt)
+            ret = jnp.where(enter, skp, ret)
+            bend = jnp.where(enter, iend, bend)
+            inst_n = jnp.where(enter, ii, inst)
+            o_n = jnp.where(enter[:, None], o_i, o_l)
+            d_n = jnp.where(enter[:, None], d_i, d_l)
+            pop = active & (inst_n >= 0) & (nxt >= bend)
+            nxt = jnp.where(pop, ret, nxt)
+            inst_n = jnp.where(pop, -1, inst_n)
+            o_n = jnp.where(pop[:, None], org_w, o_n)
+            d_n = jnp.where(pop[:, None], dir_w, d_n)
+        else:
+            inst_n, o_n, d_n = inst, o_l, d_l
+        idx = jnp.where(active, nxt, idx)
+        return (idx, ret, inst_n, bend, o_n, d_n, bt, bk, bi, binst, bu, bv,
+                it + 1)
+
+    bt0 = (
+        jnp.full((r,), t_max, jnp.float32)
+        if jnp.ndim(t_max) == 0
+        else t_max.astype(jnp.float32)
+    )
+    init = (
+        jnp.zeros((r,), jnp.int32),                 # idx
+        jnp.full((r,), tlas_end, jnp.int32),        # ret
+        jnp.full((r,), -1, jnp.int32),              # inst
+        jnp.zeros((r,), jnp.int32),                 # bend
+        org_w, dir_w,                               # o_l, d_l
+        bt0,                                        # best t
+        jnp.zeros((r,), jnp.int32),                 # best kind (PT_NONE)
+        jnp.full((r,), -1, jnp.int32),              # best index
+        jnp.full((r,), -1, jnp.int32),              # best inst
+        jnp.zeros((r,), jnp.float32),               # best u
+        jnp.zeros((r,), jnp.float32),               # best v
+        jnp.int32(0),
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    _, _, _, _, _, _, bt, bk, bi, binst, bu, bv, _ = out
+    bt = jnp.where(bk == PT_NONE, INF, bt)
+    return bt, bk, bi, binst, bu, bv
+
+
 def closest_hit(scene: SceneData, org, dirn) -> Hit:
     """org/dirn (R, 3), unit directions. Returns the closest hit per ray."""
     r = org.shape[0]
@@ -101,8 +370,20 @@ def closest_hit(scene: SceneData, org, dirn) -> Hit:
     o1 = org[:, None, :]
     d1 = dirn[:, None, :]
 
+    # --- planes (infinite: never in the TLAS) ------------------------------
+    if scene.plane_point.shape[0] > 0:
+        ts = primitives.intersect_planes(o1, d1, scene.plane_point, scene.plane_normal)
+        idx = jnp.argmin(ts, axis=1)
+        tmin = jnp.min(ts, axis=1)
+        take(tmin, PT_PLANE, idx.astype(jnp.int32))
+
+    if scene.use_tlas:
+        # --- unified TLAS traversal: analytic prims + mesh instances ------
+        t, k, i, binst, u, v = traverse_scene(scene, org, dirn, best_t)
+        take(t, k, i, inst=binst, u=u, v=v)
+
     # --- spheres ----------------------------------------------------------
-    if scene.sphere_center.shape[0] > 0:
+    if not scene.use_tlas and scene.sphere_center.shape[0] > 0:
         if scene.sphere_xform:
             o = _xform_point(scene.sphere_inv[None], o1)
             d = _xform_dir(scene.sphere_inv[None], d1)
@@ -113,15 +394,8 @@ def closest_hit(scene: SceneData, org, dirn) -> Hit:
         tmin = jnp.min(ts, axis=1)
         take(tmin, PT_SPHERE, idx.astype(jnp.int32))
 
-    # --- planes -----------------------------------------------------------
-    if scene.plane_point.shape[0] > 0:
-        ts = primitives.intersect_planes(o1, d1, scene.plane_point, scene.plane_normal)
-        idx = jnp.argmin(ts, axis=1)
-        tmin = jnp.min(ts, axis=1)
-        take(tmin, PT_PLANE, idx.astype(jnp.int32))
-
     # --- cubes ------------------------------------------------------------
-    if scene.cube_min.shape[0] > 0:
+    if not scene.use_tlas and scene.cube_min.shape[0] > 0:
         if scene.cube_xform:
             o = _xform_point(scene.cube_inv[None], o1)
             d = _xform_dir(scene.cube_inv[None], d1)
@@ -133,7 +407,7 @@ def closest_hit(scene: SceneData, org, dirn) -> Hit:
         take(tmin, PT_CUBE, idx.astype(jnp.int32))
 
     # --- cylinders --------------------------------------------------------
-    if scene.cyl_radius.shape[0] > 0:
+    if not scene.use_tlas and scene.cyl_radius.shape[0] > 0:
         if scene.cyl_xform:
             o = _xform_point(scene.cyl_inv[None], o1)
             d = _xform_dir(scene.cyl_inv[None], d1)
@@ -144,9 +418,9 @@ def closest_hit(scene: SceneData, org, dirn) -> Hit:
         tmin = jnp.min(ts, axis=1)
         take(tmin, PT_CYLINDER, idx.astype(jnp.int32))
 
-    # --- mesh instances (flattened BVH traversal) -------------------------
+    # --- mesh instances (flattened BVH traversal, per instance) -----------
     n_inst = scene.inst_inv.shape[0]
-    if n_inst > 0:
+    if not scene.use_tlas and n_inst > 0:
         mesh_arrays = traverse.MeshArrays(
             node_bmin=scene.node_bmin,
             node_bmax=scene.node_bmax,

@@ -40,6 +40,9 @@ PT_TRIANGLE = 5
 PT_SDF = 6
 PT_VOLUME = 7
 PT_FUNCTION = 8
+# TLAS-only leaf kind: a mesh-instance entry (never appears in hit records;
+# the traversal re-enters the instance's BLAS and records PT_TRIANGLE hits)
+PT_INSTANCE = 9
 
 _DATA_FIELDS = [
     "sphere_center", "sphere_radius", "sphere_inv", "sphere_world", "sphere_mat",
@@ -51,6 +54,8 @@ _DATA_FIELDS = [
     "tri_n0", "tri_n1", "tri_n2",
     "tri_uv0", "tri_uv1", "tri_uv2", "tri_mat",
     "inst_inv", "inst_world", "inst_node_base", "inst_node_end", "inst_mat",
+    "u_bmin", "u_bmax", "u_first", "u_count", "u_kind", "u_skip",
+    "u_inst_base", "u_inst_end",
     "light_ptype", "light_pindex", "light_center", "light_radius", "light_mat",
     "materials", "textures",
     "env_color", "texture_angle",
@@ -59,6 +64,7 @@ _DATA_FIELDS = [
 _META_FIELDS = [
     "sdf_objects", "volumes", "functions", "sphere_xform", "cube_xform",
     "cyl_xform", "max_leaf", "env_texture", "has_surface_maps",
+    "tlas_end", "use_tlas",
 ]
 
 
@@ -115,6 +121,21 @@ class SceneData:
     inst_node_base: jnp.ndarray
     inst_node_end: jnp.ndarray
     inst_mat: jnp.ndarray      # material override, -1 = per-triangle
+    # unified TLAS + BLAS node arrays (the Tree.cs:22-42 top-level accel,
+    # flattened): nodes [0, tlas_end) form a BVH over *objects* (analytic
+    # primitives + mesh instances); each mesh BLAS follows, skip-linked
+    # within its own [base, end) range. u_kind: PT_NONE = internal,
+    # PT_TRIANGLE = triangle leaf, PT_SPHERE/CUBE/CYLINDER = analytic
+    # singleton leaf (u_first = primitive index), PT_INSTANCE = enter BLAS
+    # (u_first = instance id).
+    u_bmin: jnp.ndarray
+    u_bmax: jnp.ndarray
+    u_first: jnp.ndarray
+    u_count: jnp.ndarray
+    u_kind: jnp.ndarray
+    u_skip: jnp.ndarray
+    u_inst_base: jnp.ndarray  # per-instance BLAS start in unified space
+    u_inst_end: jnp.ndarray
     # light table for NEE
     light_ptype: jnp.ndarray
     light_pindex: jnp.ndarray
@@ -137,6 +158,8 @@ class SceneData:
     max_leaf: int
     env_texture: int
     has_surface_maps: bool
+    tlas_end: int    # number of TLAS nodes at the head of the u_* arrays
+    use_tlas: bool   # static dispatch: unified traversal vs per-type passes
 
     @property
     def num_lights(self) -> int:
@@ -148,6 +171,21 @@ def _affine(m: np.ndarray) -> np.ndarray:
 
 
 _IDENTITY34 = np.eye(4, dtype=np.float32)[:3, :4]
+
+
+def _xform_aabb(world34: np.ndarray, lo, hi):
+    """Conservative world AABB of an object-space AABB under an affine
+    transform (Matrix.MulBox semantics, Matrix.cs:157-173): transform the 8
+    corners, re-box."""
+    lo = np.asarray(lo, np.float32)
+    hi = np.asarray(hi, np.float32)
+    corners = np.array(
+        [[x, y, z] for x in (lo[0], hi[0]) for y in (lo[1], hi[1])
+         for z in (lo[2], hi[2])],
+        np.float32,
+    )
+    w = corners @ np.asarray(world34, np.float32)[:, :3].T + world34[:, 3]
+    return w.min(axis=0), w.max(axis=0)
 
 
 class SceneBuilder:
@@ -328,7 +366,7 @@ class SceneBuilder:
 
     # -- freeze ------------------------------------------------------------
 
-    def build(self, leaf_size: int = 8) -> SceneData:
+    def build(self, leaf_size: int = 8, use_tlas: bool | None = None) -> SceneData:
         f32 = jnp.float32
         i32 = jnp.int32
 
@@ -348,6 +386,7 @@ class SceneBuilder:
         tri_uv = []
         tri_mat = []
         mesh_node_range = []  # per mesh: (base, end)
+        mesh_root_bounds = []  # per mesh: (lo, hi) of the BVH root
         tri_offset = 0
         node_offset = 0
         for mesh, def_mid in self._meshes:
@@ -371,6 +410,7 @@ class SceneBuilder:
             node_count.append(flat.count)
             node_skip.append(flat.skip + node_offset)
             mesh_node_range.append((node_offset, node_offset + flat.bmin.shape[0]))
+            mesh_root_bounds.append((flat.bmin[0].copy(), flat.bmax[0].copy()))
             tri_offset += v.shape[0]
             node_offset += flat.bmin.shape[0]
 
@@ -410,6 +450,69 @@ class SceneBuilder:
         for mesh_idx, inv, world, over in self._instances:
             base, end = mesh_node_range[mesh_idx]
             inst_rows.append((inv, world, base, end, over))
+
+        # --- TLAS over all objects (Tree.cs:22-42, Scene.cs:56-66) ---------
+        # One flattened BVH whose singleton leaves are typed object entries;
+        # mesh-instance leaves re-enter the instance's BLAS during traversal.
+        obj_kind = []
+        obj_index = []
+        obj_lo = []
+        obj_hi = []
+
+        def add_obj(kind, index, lo, hi, world):
+            lo2, hi2 = _xform_aabb(world, lo, hi)
+            obj_kind.append(kind)
+            obj_index.append(index)
+            obj_lo.append(lo2)
+            obj_hi.append(hi2)
+
+        for i, (center, radius, _inv, world, _mid) in enumerate(self._spheres):
+            add_obj(PT_SPHERE, i, center - radius, center + radius, world)
+        for i, (bmn, bmx, _inv, world, _mid) in enumerate(self._cubes):
+            add_obj(PT_CUBE, i, bmn, bmx, world)
+        for i, (rad, z0, z1, _inv, world, _mid) in enumerate(self._cyls):
+            add_obj(PT_CYLINDER, i, [-rad, -rad, z0], [rad, rad, z1], world)
+        for i, (mesh_idx, _inv, world, _over) in enumerate(self._instances):
+            lo, hi = mesh_root_bounds[mesh_idx]
+            add_obj(PT_INSTANCE, i, lo, hi, world)
+
+        n_obj = len(obj_kind)
+        if n_obj > 0:
+            tl = bvh_mod.build(
+                np.stack(obj_lo), np.stack(obj_hi), leaf_size=1
+            )
+            tlas_n = tl.bmin.shape[0]
+            t_kind = np.zeros(tlas_n, np.int32)
+            t_first = np.zeros(tlas_n, np.int32)
+            leaf_mask = tl.count > 0
+            ids = tl.order[tl.first[leaf_mask]]
+            t_kind[leaf_mask] = np.asarray(obj_kind, np.int32)[ids]
+            t_first[leaf_mask] = np.asarray(obj_index, np.int32)[ids]
+            u_bmin = np.concatenate([tl.bmin, nodes[0]])
+            u_bmax = np.concatenate([tl.bmax, nodes[1]])
+            u_first = np.concatenate([t_first, nodes[2]])
+            u_count = np.concatenate([tl.count, nodes[3]])
+            u_kind = np.concatenate(
+                [t_kind, np.where(nodes[3] > 0, PT_TRIANGLE, PT_NONE).astype(np.int32)]
+            )
+            u_skip = np.concatenate([tl.skip, nodes[4] + tlas_n])
+        else:
+            tlas_n = 0
+            u_bmin = np.zeros((0, 3), np.float32)
+            u_bmax = np.zeros((0, 3), np.float32)
+            u_first = np.zeros(0, np.int32)
+            u_count = np.zeros(0, np.int32)
+            u_kind = np.zeros(0, np.int32)
+            u_skip = np.zeros(0, np.int32)
+
+        if use_tlas is None:
+            # heuristic: brute-force per-type passes win for small object
+            # counts (vectorized slab tests, zero gathers); the TLAS wins
+            # for instancing (no Python-unrolled traversals) and big object
+            # soups. Threshold measured on cube_field-style scenes.
+            n_analytic = len(self._spheres) + len(self._cubes) + len(self._cyls)
+            use_tlas = len(self._instances) > 1 or n_analytic >= 64
+        use_tlas = bool(use_tlas and n_obj > 0)
 
         sphere_x = any(
             not np.array_equal(s[2], _IDENTITY34) for s in self._spheres
@@ -457,6 +560,14 @@ class SceneBuilder:
             inst_node_base=soa(inst_rows, 2, (), np.int32),
             inst_node_end=soa(inst_rows, 3, (), np.int32),
             inst_mat=soa(inst_rows, 4, (), np.int32),
+            u_bmin=jnp.asarray(u_bmin),
+            u_bmax=jnp.asarray(u_bmax),
+            u_first=jnp.asarray(u_first),
+            u_count=jnp.asarray(u_count),
+            u_kind=jnp.asarray(u_kind),
+            u_skip=jnp.asarray(u_skip),
+            u_inst_base=soa(inst_rows, 2, (), np.int32) + tlas_n,
+            u_inst_end=soa(inst_rows, 3, (), np.int32) + tlas_n,
             light_ptype=soa(self._lights, 0, (), np.int32),
             light_pindex=soa(self._lights, 1, (), np.int32),
             light_center=soa(self._lights, 2, (3,)),
@@ -475,6 +586,8 @@ class SceneBuilder:
             cyl_xform=cyl_x,
             max_leaf=leaf_size,
             env_texture=self.env_texture,
+            tlas_end=int(tlas_n),
+            use_tlas=use_tlas,
             has_surface_maps=any(
                 m.normal_texture >= 0 or m.bump_texture >= 0
                 for m in self._materials
