@@ -171,6 +171,17 @@ def cube_mesh(bmin, bmax) -> TriMesh:
     return TriMesh(np.array(tris, np.float32))
 
 
+def quad_mesh(p0, p1, p2, p3) -> TriMesh:
+    """Two-triangle quad (counter-clockwise corners). The standard area
+    light: emissive quads are sampled per-triangle by NEE (the replacement
+    for the reference's bounding-sphere light proxy, Sampler.cs:231-253)."""
+    p0, p1, p2, p3 = (np.asarray(p, np.float32) for p in (p0, p1, p2, p3))
+    uv = np.array(
+        [[[0, 0], [1, 0], [1, 1]], [[0, 0], [1, 1], [0, 1]]], np.float32
+    )
+    return TriMesh(np.array([[p0, p1, p2], [p0, p2, p3]], np.float32), uv=uv)
+
+
 def sphere_mesh(center, radius, subdivisions: int = 3) -> TriMesh:
     """Icosphere (handy for SH-style meshing and light proxies)."""
     t = (1.0 + np.sqrt(5.0)) / 2.0

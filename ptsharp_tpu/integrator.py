@@ -120,11 +120,14 @@ def sample_lights(scene: SceneData, cfg: IntegratorConfig, position, normal,
     if n_lights == 0 or not cfg.direct_lighting:
         return jnp.zeros((r, 3), jnp.float32), jnp.int32(0)
 
+    has_em = scene.em_v0.shape[0] > 0  # static: any per-triangle lights
+
     def one_light(lidx, key):
         """lidx (R,) int32 per-ray light index."""
         center = scene.light_center[lidx]
         radius = scene.light_radius[lidx]
-        k1, k2 = jax.random.split(key)
+        is_tri = scene.light_ptype[lidx] == PT_TRIANGLE
+        k1, k2, k3 = jax.random.split(key, 3)
         if cfg.soft_shadows:
             u1 = jax.random.uniform(k1, (r,))
             u2 = jax.random.uniform(k2, (r,))
@@ -137,19 +140,60 @@ def sample_lights(scene: SceneData, cfg: IntegratorConfig, position, normal,
                 + b_ax * (dy * radius)[:, None]
             )
         else:
+            u1 = jax.random.uniform(k1, (r,))
+            u2 = jax.random.uniform(k2, (r,))
             point = center
+
+        # --- per-triangle area sampling for mesh lights --------------------
+        # (replaces the reference's bounding-disc proxy for emissive meshes;
+        # standard one-sample area NEE with pdf = 1/total_area)
+        if has_em:
+            n_em = scene.em_v0.shape[0]
+            uc = jax.random.uniform(k3, (r,))
+            start = scene.light_tri_start[lidx]
+            end = scene.light_tri_end[lidx]
+            lo = start
+            hi = jnp.maximum(end - 1, start)
+
+            def bs_step(_i, lohi):
+                blo, bhi = lohi
+                mid = (blo + bhi) // 2
+                cm = scene.em_cdf[jnp.clip(mid, 0, n_em - 1)]
+                go_hi = cm < uc
+                return (jnp.where(go_hi, mid + 1, blo),
+                        jnp.where(go_hi, bhi, mid))
+
+            lo, hi = jax.lax.fori_loop(0, 21, bs_step, (lo, hi))
+            tri = jnp.clip(lo, start, jnp.maximum(end - 1, 0))
+            su = jnp.sqrt(u1)
+            b1 = su * (1.0 - u2)
+            b2 = su * u2
+            p_tri = (
+                scene.em_v0[tri]
+                + scene.em_e1[tri] * b1[:, None]
+                + scene.em_e2[tri] * b2[:, None]
+            )
+            point = jnp.where(is_tri[:, None], p_tri, point)
+
         point = jax.lax.stop_gradient(point)
         ray_dir = vec.normalize(point - position)
         cos_t = vec.dot(ray_dir, normal)
         facing = cos_t > 0.0
 
         shadow_hit = closest_hit(scene, position, ray_dir)
-        is_tri = scene.light_ptype[lidx] == PT_TRIANGLE
         idx_match = jnp.where(
             is_tri,
             shadow_hit.inst == scene.light_pindex[lidx],
             shadow_hit.pindex == scene.light_pindex[lidx],
         )
+        if has_em:
+            # per-tri Ke meshes: the shadow ray must land on an *emissive*
+            # triangle of the light instance, not just any of its triangles
+            hp = jnp.maximum(shadow_hit.pindex, 0)
+            hover = scene.inst_mat[jnp.maximum(shadow_hit.inst, 0)]
+            htm = jnp.where(hover >= 0, hover, scene.tri_mat[hp])
+            hit_emissive = scene.materials.emittance[htm] > 0.0
+            idx_match = idx_match & (~is_tri | hit_emissive)
         visible = (
             (shadow_hit.ptype == scene.light_ptype[lidx])
             & idx_match
@@ -165,6 +209,17 @@ def sample_lights(scene: SceneData, cfg: IntegratorConfig, position, normal,
         lmat = scene.materials.gather(scene.light_mat[lidx])
         scale = lmat.emittance * cos_t * cov
         contrib = lmat.color * scale[:, None]
+        if has_em:
+            emat = scene.materials.gather(scene.em_mat[tri])
+            d2 = jnp.sum((point - position) ** 2, axis=-1)
+            cos_l = jnp.abs(vec.dot(scene.em_nrm[tri], ray_dir))
+            scale_tri = (
+                emat.emittance * cos_t * cos_l * scene.light_area[lidx]
+                / jnp.maximum(d2, 1e-8)
+            )
+            contrib = jnp.where(
+                is_tri[:, None], emat.color * scale_tri[:, None], contrib
+            )
         return jnp.where((facing & visible)[:, None], contrib, 0.0)
 
     if cfg.light_mode == LIGHT_MODE_ALL:
@@ -305,8 +360,15 @@ def trace(
         # emissive hit (Sampler.cs:73-80): suppressed emission kills the
         # path with zero contribution; allowed emission accumulates and the
         # path keeps scattering like the reference.
+        # without NEE every path carries emission (the reference's
+        # `!DirectLighting || emission` guard, Sampler.cs:73-80); with NEE
+        # only specular-continued paths may add it (no double counting)
         emissive = mat.emittance > 0.0
-        emit_add = (alive & emissive & state.emission_ok)
+        emission_allowed = (
+            state.emission_ok if cfg.direct_lighting
+            else jnp.ones_like(state.emission_ok)
+        )
+        emit_add = (alive & emissive & emission_allowed)
         radiance = radiance + jnp.where(
             emit_add[:, None],
             state.throughput * color * mat.emittance[:, None],

@@ -57,6 +57,8 @@ _DATA_FIELDS = [
     "u_bmin", "u_bmax", "u_first", "u_count", "u_kind", "u_skip",
     "u_inst_base", "u_inst_end",
     "light_ptype", "light_pindex", "light_center", "light_radius", "light_mat",
+    "light_tri_start", "light_tri_end", "light_area",
+    "em_v0", "em_e1", "em_e2", "em_nrm", "em_cdf", "em_mat",
     "materials", "textures",
     "env_color", "texture_angle",
     "volume_data",
@@ -142,6 +144,19 @@ class SceneData:
     light_center: jnp.ndarray
     light_radius: jnp.ndarray
     light_mat: jnp.ndarray
+    # per-triangle emissive light geometry (PT_TRIANGLE lights sample a
+    # world-space triangle proportional to area instead of the reference's
+    # bounding-disc proxy; Scene.cs:29-38 registers shapes, Sampler.cs:212-296
+    # samples them). light_tri_start/end index [start, end) into em_*.
+    light_tri_start: jnp.ndarray
+    light_tri_end: jnp.ndarray
+    light_area: jnp.ndarray   # total emissive area per light (0 = non-tri)
+    em_v0: jnp.ndarray        # (E, 3) world space
+    em_e1: jnp.ndarray
+    em_e2: jnp.ndarray
+    em_nrm: jnp.ndarray       # (E, 3) unit face normal, world space
+    em_cdf: jnp.ndarray       # (E,) cumulative area within its light, (0, 1]
+    em_mat: jnp.ndarray       # (E,) material id of the emissive triangle
     # materials / textures / environment
     materials: MaterialTable
     textures: TextureAtlas
@@ -328,7 +343,16 @@ class SceneBuilder:
         mat = material if material is not None else (
             self._materials[def_mid] if def_mid >= 0 else None
         )
-        if mat is not None and mat.emittance > 0:
+        emissive = mat is not None and mat.emittance > 0
+        if not emissive and mat is None and mesh.mat is not None:
+            # per-triangle materials (OBJ Ke): any emissive triangle makes
+            # the instance a light (Scene.cs:29-38 auto-classification)
+            ids = np.unique(mesh.mat)
+            emissive = any(self._materials[int(m)].emittance > 0 for m in ids)
+            if emissive:
+                mat = next(self._materials[int(m)] for m in ids
+                           if self._materials[int(m)].emittance > 0)
+        if emissive:
             lo, hi = mesh.bounds()
             center = 0.5 * (lo + hi)
             radius = 0.5 * float(np.linalg.norm(hi - lo))
@@ -505,6 +529,58 @@ class SceneBuilder:
             u_kind = np.zeros(0, np.int32)
             u_skip = np.zeros(0, np.int32)
 
+        # --- per-triangle emissive light geometry ---------------------------
+        # For each PT_TRIANGLE light, collect its instance's emissive
+        # triangles in world space with an area CDF for proportional NEE
+        # sampling (replaces the bounding-sphere disc proxy).
+        em_v0l, em_e1l, em_e2l, em_nl, em_cdfl, em_matl = [], [], [], [], [], []
+        lt_start = np.zeros(len(self._lights), np.int32)
+        lt_end = np.zeros(len(self._lights), np.int32)
+        lt_area = np.zeros(len(self._lights), np.float32)
+        cursor = 0
+        for li, (ptype, pindex, _c, _r, _lm) in enumerate(self._lights):
+            if ptype != PT_TRIANGLE:
+                continue
+            mesh_idx, _inv, world, over = self._instances[pindex]
+            mesh, def_mid = self._meshes[mesh_idx]
+            t_count = mesh.v.shape[0]
+            if over >= 0:
+                mids = np.full(t_count, over, np.int32)
+            elif mesh.mat is not None:
+                mids = np.asarray(mesh.mat, np.int32)
+            else:
+                mids = np.full(t_count, max(def_mid, 0), np.int32)
+            emit_lut = np.asarray(
+                [m.emittance for m in self._materials], np.float32
+            )
+            sel = emit_lut[mids] > 0
+            if not sel.any():
+                continue
+            wv = mesh.v[sel] @ world[:3, :3].T + world[:3, 3]
+            e1 = wv[:, 1] - wv[:, 0]
+            e2 = wv[:, 2] - wv[:, 0]
+            cr = np.cross(e1, e2)
+            area2 = np.linalg.norm(cr, axis=1)
+            area = 0.5 * area2
+            nrm = cr / np.maximum(area2, 1e-20)[:, None]
+            total = float(area.sum())
+            cdf = np.cumsum(area) / max(total, 1e-20)
+            em_v0l.append(wv[:, 0].astype(np.float32))
+            em_e1l.append(e1.astype(np.float32))
+            em_e2l.append(e2.astype(np.float32))
+            em_nl.append(nrm.astype(np.float32))
+            em_cdfl.append(cdf.astype(np.float32))
+            em_matl.append(mids[sel])
+            lt_start[li] = cursor
+            cursor += int(sel.sum())
+            lt_end[li] = cursor
+            lt_area[li] = total
+
+        def cat(parts, shape, dtype=np.float32):
+            if parts:
+                return jnp.asarray(np.concatenate(parts).astype(dtype))
+            return jnp.zeros((0,) + shape, dtype)
+
         if use_tlas is None:
             # heuristic: brute-force per-type passes win for small object
             # counts (vectorized slab tests, zero gathers); the TLAS wins
@@ -573,6 +649,15 @@ class SceneBuilder:
             light_center=soa(self._lights, 2, (3,)),
             light_radius=soa(self._lights, 3, ()),
             light_mat=soa(self._lights, 4, (), np.int32),
+            light_tri_start=jnp.asarray(lt_start),
+            light_tri_end=jnp.asarray(lt_end),
+            light_area=jnp.asarray(lt_area),
+            em_v0=cat(em_v0l, (3,)),
+            em_e1=cat(em_e1l, (3,)),
+            em_e2=cat(em_e2l, (3,)),
+            em_nrm=cat(em_nl, (3,)),
+            em_cdf=cat(em_cdfl, ()),
+            em_mat=cat(em_matl, (), np.int32),
             materials=MaterialTable.build(self._materials),
             textures=TextureAtlas.build(self._textures),
             env_color=jnp.asarray(self.env_color),
