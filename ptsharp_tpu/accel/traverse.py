@@ -148,6 +148,157 @@ def traverse(
     return best_t, best_tri, best_u, best_v
 
 
+def unpack_bits(rows):
+    """Unpack the packed node row metadata: (first, skip, kind, count)."""
+    first = jax.lax.bitcast_convert_type(rows[..., 6], jnp.int32)
+    bits2 = jax.lax.bitcast_convert_type(rows[..., 7], jnp.int32)
+    skip = jax.lax.shift_right_logical(bits2, 12)
+    kind = jax.lax.shift_right_logical(bits2, 8) & 0xF
+    count = bits2 & 0xFF
+    return first, skip, kind, count
+
+
+def leaf_intersect(leaf_rows, blk_id, o, d, best_t, leaf_size: int,
+                   active):
+    """Fixed-width leaf block Möller–Trumbore from ONE packed row per ray.
+
+    leaf_rows (NL, leaf*9); blk_id (R,) leaf-row index (garbage rows are
+    fetched but masked by `active`). Returns (t, slot_lane, u, v) per ray —
+    t = INF when no triangle in the block beats best_t.
+    """
+    r = o.shape[0]
+    blk = leaf_rows[jnp.clip(blk_id, 0, leaf_rows.shape[0] - 1)]
+    blk = blk.reshape(r, leaf_size, 9)
+    tv0 = blk[:, :, 0:3]
+    te1 = blk[:, :, 3:6]
+    te2 = blk[:, :, 6:9]
+    d3 = d[:, None, :]
+    o3 = o[:, None, :]
+    h = jnp.cross(d3, te2)
+    det = jnp.sum(te1 * h, axis=-1)
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    sv = o3 - tv0
+    u = jnp.sum(sv * h, axis=-1) * inv_det
+    q = jnp.cross(sv, te1)
+    v = jnp.sum(d3 * q, axis=-1) * inv_det
+    t = jnp.sum(te2 * q, axis=-1) * inv_det
+    ok = (
+        active[:, None]
+        & (jnp.abs(det) > 1e-12)
+        & (u >= 0.0) & (u <= 1.0)
+        & (v >= 0.0) & (u + v <= 1.0)
+        & (t > primitives.EPS_T)
+        & (t < best_t[:, None])
+    )
+    # pad slots are all-zero -> det == 0 -> rejected; no count mask needed
+    t_ok = jnp.where(ok, t, vec.INF)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (r, leaf_size), 1)
+    lane_best = jnp.argmin(t_ok, axis=-1)
+    t_lane = jnp.min(t_ok, axis=-1)
+    sel = lane == lane_best[:, None]
+    u_lane = jnp.sum(jnp.where(sel, u, 0.0), axis=-1)
+    v_lane = jnp.sum(jnp.where(sel, v, 0.0), axis=-1)
+    return t_lane, lane_best, u_lane, v_lane
+
+
+def traverse_packed(rows, leaf_rows, org, dirn, t_max, base, end,
+                    leaf_size: int, max_iters: int = 65536):
+    """Skip-link walk over packed node rows: per step ONE (8,) node-row
+    gather + (on leaf) ONE (leaf*9,) leaf-row gather — the gather-count
+    budget that dominates TPU traversal cost (scripts/exp_gather.py: row
+    gathers cost the same regardless of width).
+
+    Returns (t, slot, u, v); slot indexes the slot-ordered triangle arrays,
+    -1 on miss.
+    """
+    org = jax.lax.stop_gradient(org)
+    dirn = jax.lax.stop_gradient(dirn)
+    t_max = jax.lax.stop_gradient(t_max)
+    r = org.shape[0]
+    inv_d = 1.0 / jnp.where(
+        jnp.abs(dirn) < 1e-30, jnp.where(dirn < 0, -1e-30, 1e-30), dirn
+    )
+
+    def cond(state):
+        idx, _bt, _bs, _bu, _bv, it = state
+        return jnp.logical_and(jnp.any(idx < end), it < max_iters)
+
+    def body(state):
+        idx, bt, bs, bu, bv, it = state
+        active = idx < end
+        safe = jnp.where(active, idx, base)
+        nrow = rows[safe]  # (R, 8) — the only node gather
+        first, skip, _kind, cnt = unpack_bits(nrow)
+        lo = (nrow[:, 0:3] - org) * inv_d
+        hi = (nrow[:, 3:6] - org) * inv_d
+        tmin = jnp.max(jnp.minimum(lo, hi), axis=-1)
+        tmax = jnp.min(jnp.maximum(lo, hi), axis=-1)
+        box_hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < bt)
+
+        is_leaf = cnt > 0
+        do_leaf = active & box_hit & is_leaf
+        blk_id = first // leaf_size
+        t_lane, lane_best, u_lane, v_lane = leaf_intersect(
+            leaf_rows, jnp.where(do_leaf, blk_id, 0), org, dirn, bt,
+            leaf_size, do_leaf,
+        )
+        got = t_lane < bt
+        bt = jnp.where(got, t_lane, bt)
+        bs = jnp.where(got, first + lane_best, bs)
+        bu = jnp.where(got, u_lane, bu)
+        bv = jnp.where(got, v_lane, bv)
+
+        descend = box_hit & ~is_leaf
+        nxt = jnp.where(descend, idx + 1, skip)
+        idx = jnp.where(active, nxt, idx)
+        return idx, bt, bs, bu, bv, it + 1
+
+    init = (
+        jnp.full((r,), base, jnp.int32),
+        jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,)).astype(jnp.float32),
+        jnp.full((r,), -1, jnp.int32),
+        jnp.zeros((r,), jnp.float32),
+        jnp.zeros((r,), jnp.float32),
+        jnp.int32(0),
+    )
+    idx, bt, bs, bu, bv, _ = jax.lax.while_loop(cond, body, init)
+    bt = jnp.where(bs >= 0, bt, vec.INF)
+    return bt, bs, bu, bv
+
+
+def traverse_packed_chunked(rows, leaf_rows, org, dirn, t_max, base, end,
+                            leaf_size: int, chunk: int = 1 << 14):
+    """Chunked wrapper: lax.map over sub-batches so each chunk's while_loop
+    exits at its OWN max traversal depth — the lockstep-waste bound drops
+    from max-over-all-rays to max-per-chunk (static shapes throughout).
+    Chunks of coherent (sorted) rays converge in far fewer steps."""
+    r = org.shape[0]
+    if r <= chunk:
+        return traverse_packed(rows, leaf_rows, org, dirn, t_max, base, end,
+                               leaf_size)
+    tm = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
+    pad = (-r) % chunk
+    if pad:
+        # padded rays carry t_max = 0: the root box test fails instantly
+        # and the cursor skips straight to `end` (one iteration)
+        org = jnp.concatenate([org, jnp.zeros((pad, 3), org.dtype)])
+        dirn = jnp.concatenate([dirn, jnp.ones((pad, 3), dirn.dtype)])
+        tm = jnp.concatenate([tm, jnp.zeros((pad,), jnp.float32)])
+
+    def one(args):
+        o, d, t = args
+        return traverse_packed(rows, leaf_rows, o, d, t, base, end, leaf_size)
+
+    n = (r + pad) // chunk
+    bt, bs, bu, bv = jax.lax.map(
+        one,
+        (org.reshape(n, chunk, 3), dirn.reshape(n, chunk, 3),
+         tm.reshape(n, chunk)),
+    )
+    return bt.reshape(-1)[:r], bs.reshape(-1)[:r], bu.reshape(-1)[:r], \
+        bv.reshape(-1)[:r]
+
+
 def _gather_block(arr, start, width: int):
     """Per-ray contiguous block gather: arr (T, 3), start (R,) ->
     (R, width, 3). Leaf blocks are contiguous by construction so this is a

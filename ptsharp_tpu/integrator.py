@@ -41,6 +41,12 @@ LIGHT_MODE_ALL = "all"  # average over all lights (Sampler.cs:198-204)
 
 SPECULAR_MODE_NAIVE = "naive"  # russian-roulette branch pick every bounce
 SPECULAR_MODE_FIRST = "first"  # force both branches at the first hit
+# force both branches for the first `all_split_depth` bounces (the
+# reference's SpecularModeAll splits at *every* depth, Sampler.cs:85-94 —
+# exponential; the wavefront version bounds the split depth and falls back
+# to the weighted single-branch estimator below it, preserving the
+# estimator's expectation)
+SPECULAR_MODE_ALL = "all"
 
 
 @dataclass(frozen=True)
@@ -50,6 +56,7 @@ class IntegratorConfig:
     soft_shadows: bool = True
     light_mode: str = LIGHT_MODE_RANDOM
     specular_mode: str = SPECULAR_MODE_NAIVE
+    all_split_depth: int = 2  # branch-split depth cap for SPECULAR_MODE_ALL
     russian_roulette: bool = False  # dead-by-default in the reference too
     rr_start_depth: int = 2
     rr_min_prob: float = 0.05
@@ -180,7 +187,15 @@ def sample_lights(scene: SceneData, cfg: IntegratorConfig, position, normal,
         cos_t = vec.dot(ray_dir, normal)
         facing = cos_t > 0.0
 
-        shadow_hit = closest_hit(scene, position, ray_dir)
+        # bound the shadow search at the light: traversal prunes everything
+        # behind it (the light itself must still register, hence the slack)
+        hyp0 = vec.length(center - position)
+        shadow_tmax = jnp.where(
+            is_tri,
+            vec.length(point - position) * 1.001 + 1e-3,
+            hyp0 + 2.0 * radius + 1e-3,
+        )
+        shadow_hit = closest_hit(scene, position, ray_dir, t_max=shadow_tmax)
         idx_match = jnp.where(
             is_tri,
             shadow_hit.inst == scene.light_pindex[lidx],
@@ -335,11 +350,15 @@ def trace(
     rays = jnp.int32(0)
 
     def step(state, rays, depth_key, u1, u2, force_mode, depth_static,
-             pre_hit=None, count_primary=True):
+             pre_hit=None, count_primary=True, suppress_shared=False):
         """One wavefront bounce. Returns (state, rays, first_albedo,
-        first_normal). pre_hit lets the SpecularModeFirst branch split share
-        one primary closest-hit between its two branches (Sampler.cs:85-131
-        re-traces; we don't)."""
+        first_normal). pre_hit lets a branch split share one primary
+        closest-hit between its two branches (Sampler.cs:85-131 re-traces;
+        we don't). suppress_shared: this is the second wavefront of a
+        branch split — env/emissive contributions at THIS hit were already
+        accumulated by the first wavefront, so only the continuation may
+        add radiance (the caller also zeroes the inherited radiance so the
+        final sum over wavefronts counts everything exactly once)."""
         hit = pre_hit if pre_hit is not None else closest_hit(
             scene, state.org, state.dirn
         )
@@ -352,8 +371,10 @@ def trace(
 
         missed = hit.ptype == PT_NONE
         env = sample_environment(scene, state.dirn)
+        shared_on = jnp.asarray(not suppress_shared)
         radiance = state.radiance + jnp.where(
-            (state.alive & missed)[:, None], state.throughput * env, 0.0
+            (state.alive & missed & shared_on)[:, None],
+            state.throughput * env, 0.0,
         )
         alive = state.alive & ~missed
 
@@ -368,7 +389,7 @@ def trace(
             state.emission_ok if cfg.direct_lighting
             else jnp.ones_like(state.emission_ok)
         )
-        emit_add = (alive & emissive & emission_allowed)
+        emit_add = (alive & emissive & emission_allowed & shared_on)
         radiance = radiance + jnp.where(
             emit_add[:, None],
             state.throughput * color * mat.emittance[:, None],
@@ -439,20 +460,50 @@ def trace(
     else:
         u1, u2 = ju, jv
 
+    # number of depths that force BOTH branches (wavefront doubles each):
+    # first = 1, all = all_split_depth (bounded), naive = 0
     if cfg.specular_mode == SPECULAR_MODE_FIRST:
-        hit0 = closest_hit(scene, state.org, state.dirn)
-        sa, ra0, alb, nrm = step(state, rays, k0a, u1, u2, "diffuse", 0,
-                                 pre_hit=hit0)
-        kb0 = jax.random.fold_in(k0a, 1)
-        sb, rb0, _, _ = step(state, rays, kb0, u1, u2, "specular", 0,
-                             pre_hit=hit0, count_primary=False)
-        states = [sa, sb]
-        rays = ra0 + rb0
+        n_split = 1
+    elif cfg.specular_mode == SPECULAR_MODE_ALL:
+        n_split = max(1, min(cfg.all_split_depth, cfg.max_bounces + 1))
     else:
+        n_split = 0
+
+    alb = nrm = None
+    if n_split == 0:
         sa, rays, alb, nrm = step(state, rays, k0a, u1, u2, None, 0)
         states = [sa]
+    else:
+        states = [state]
+        for d in range(n_split):
+            new_states = []
+            for si, st in enumerate(states):
+                dk = jax.random.fold_in(jax.random.fold_in(k0a, d * 131), si)
+                if d == 0:
+                    uu, vv = u1, u2
+                else:
+                    ku_, kv_ = jax.random.split(jax.random.fold_in(dk, 7))
+                    uu = jax.random.uniform(ku_, (r,))
+                    vv = jax.random.uniform(kv_, (r,))
+                # one shared closest-hit feeds both branches (the reference
+                # re-traces, Sampler.cs:85-131; we don't)
+                hit0 = closest_hit(scene, st.org, st.dirn)
+                s_d, rays, a_, n_ = step(st, rays, dk, uu, vv, "diffuse", d,
+                                         pre_hit=hit0)
+                # second wavefront: zero inherited radiance + suppress the
+                # shared env/emissive adds so the final sum over wavefronts
+                # counts each contribution exactly once
+                st_z = st._replace(radiance=jnp.zeros_like(st.radiance))
+                s_s, rays, _, _ = step(st_z, rays, jax.random.fold_in(dk, 1),
+                                       uu, vv, "specular", d, pre_hit=hit0,
+                                       count_primary=False,
+                                       suppress_shared=True)
+                if d == 0 and si == 0:
+                    alb, nrm = a_, n_
+                new_states += [s_d, s_s]
+            states = new_states
 
-    # ---- bounces 1..max: lax.scan over depth -----------------------------
+    # ---- remaining bounces: lax.scan over depth ---------------------------
     # One traced body for every depth keeps the XLA graph (and compile
     # time) independent of max_bounces — the scanned-depth design of
     # SURVEY.md §5's "long-context equivalent". RR's depth gate becomes a
@@ -467,9 +518,10 @@ def trace(
         return (cur, rays_acc, si), None
 
     results = []
-    depths = jnp.arange(1, cfg.max_bounces + 1)
+    start_depth = max(n_split, 1) if n_split else 1
+    depths = jnp.arange(start_depth, cfg.max_bounces + 1)
     for si, st in enumerate(states):
-        if cfg.max_bounces > 0:
+        if depths.shape[0] > 0:
             (cur, rays, _), _ = jax.lax.scan(
                 scan_body, (st, rays, jnp.int32(si)), depths
             )
@@ -477,7 +529,9 @@ def trace(
             cur = st
         results.append(cur.radiance)
 
-    radiance = results[0] if len(results) == 1 else results[0] + results[1]
+    radiance = results[0]
+    for extra in results[1:]:
+        radiance = radiance + extra
     return TraceResult(
         radiance=radiance,
         albedo=alb,

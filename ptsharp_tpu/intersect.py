@@ -179,61 +179,29 @@ def traverse_scene(scene: SceneData, org_w, dir_w, t_max, max_iters: int = 65536
         idx, ret, inst, bend, o_l, d_l, bt, bk, bi, binst, bu, bv, it = s
         active = (inst >= 0) | (idx < tlas_end)
         safe = jnp.where(active, idx, 0)
-        k = scene.u_kind[safe]
-        skp = scene.u_skip[safe]
-        first = scene.u_first[safe]
-        cnt = scene.u_count[safe]
-        nb_min = scene.u_bmin[safe]
-        nb_max = scene.u_bmax[safe]
+        nrow = scene.u_rows[safe]  # (R, 8) — one gather per node
+        first, skp, k, cnt = traverse.unpack_bits(nrow)
 
         inv_d = 1.0 / jnp.where(
             jnp.abs(d_l) < 1e-30, jnp.where(d_l < 0, -1e-30, 1e-30), d_l
         )
-        slo = (nb_min - o_l) * inv_d
-        shi = (nb_max - o_l) * inv_d
+        slo = (nrow[:, 0:3] - o_l) * inv_d
+        shi = (nrow[:, 3:6] - o_l) * inv_d
         tmin = jnp.max(jnp.minimum(slo, shi), axis=-1)
         tmax = jnp.min(jnp.maximum(slo, shi), axis=-1)
         box_hit = active & (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < bt)
 
-        # --- triangle leaf: fixed-width Möller–Trumbore block -------------
+        # --- triangle leaf: one packed leaf-row per ray --------------------
         if has_tri:
             do_tri = box_hit & (k == PT_TRIANGLE)
-            start = jnp.where(do_tri, first, 0)
-            offs = jax.lax.broadcasted_iota(jnp.int32, (r, leaf), 1)
-            tidx = jnp.clip(start[:, None] + offs, 0, scene.tri_v0.shape[0] - 1)
-            tv0 = scene.tri_v0[tidx]
-            te1 = scene.tri_e1[tidx]
-            te2 = scene.tri_e2[tidx]
-            d3 = d_l[:, None, :]
-            o3 = o_l[:, None, :]
-            h = jnp.cross(d3, te2)
-            det = jnp.sum(te1 * h, axis=-1)
-            inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
-            sv = o3 - tv0
-            u = jnp.sum(sv * h, axis=-1) * inv_det
-            q = jnp.cross(sv, te1)
-            v = jnp.sum(d3 * q, axis=-1) * inv_det
-            t = jnp.sum(te2 * q, axis=-1) * inv_det
-            lane = offs
-            ok = (
-                do_tri[:, None]
-                & (lane < cnt[:, None])
-                & (jnp.abs(det) > 1e-12)
-                & (u >= 0.0) & (u <= 1.0)
-                & (v >= 0.0) & (u + v <= 1.0)
-                & (t > primitives.EPS_T)
-                & (t < bt[:, None])
+            t_lane, lane_best, u_lane, v_lane = traverse.leaf_intersect(
+                scene.leaf_rows, jnp.where(do_tri, first // leaf, 0),
+                o_l, d_l, bt, leaf, do_tri,
             )
-            t_ok = jnp.where(ok, t, INF)
-            lane_best = jnp.argmin(t_ok, axis=-1)
-            t_lane = jnp.min(t_ok, axis=-1)
-            selm = lane == lane_best[:, None]
-            u_lane = jnp.sum(jnp.where(selm, u, 0.0), axis=-1)
-            v_lane = jnp.sum(jnp.where(selm, v, 0.0), axis=-1)
             got = t_lane < bt
             bt = jnp.where(got, t_lane, bt)
             bk = jnp.where(got, PT_TRIANGLE, bk)
-            bi = jnp.where(got, start + lane_best, bi)
+            bi = jnp.where(got, first + lane_best, bi)
             binst = jnp.where(got, inst, binst)
             bu = jnp.where(got, u_lane, bu)
             bv = jnp.where(got, v_lane, bv)
@@ -347,10 +315,19 @@ def traverse_scene(scene: SceneData, org_w, dir_w, t_max, max_iters: int = 65536
     return bt, bk, bi, binst, bu, bv
 
 
-def closest_hit(scene: SceneData, org, dirn) -> Hit:
-    """org/dirn (R, 3), unit directions. Returns the closest hit per ray."""
+def closest_hit(scene: SceneData, org, dirn, t_max=None) -> Hit:
+    """org/dirn (R, 3), unit directions. Returns the closest hit per ray.
+
+    t_max (scalar or (R,)) bounds the search: hits beyond it are ignored
+    (shadow rays pass their light distance so traversal prunes everything
+    behind the light)."""
     r = org.shape[0]
-    best_t = jnp.full(r, INF, jnp.float32)
+    if t_max is None:
+        best_t = jnp.full(r, INF, jnp.float32)
+    else:
+        best_t = jnp.broadcast_to(
+            jax.lax.stop_gradient(jnp.asarray(t_max, jnp.float32)), (r,)
+        )
     best_type = jnp.zeros(r, jnp.int32)
     best_idx = jnp.full(r, -1, jnp.int32)
     best_inst = jnp.full(r, -1, jnp.int32)
@@ -418,29 +395,33 @@ def closest_hit(scene: SceneData, org, dirn) -> Hit:
         tmin = jnp.min(ts, axis=1)
         take(tmin, PT_CYLINDER, idx.astype(jnp.int32))
 
-    # --- mesh instances (flattened BVH traversal, per instance) -----------
+    # --- mesh instances, per instance: fixed-depth cluster cull (default)
+    # or the packed skip-link walk -------------------------------------
     n_inst = scene.inst_inv.shape[0]
     if not scene.use_tlas and n_inst > 0:
-        mesh_arrays = traverse.MeshArrays(
-            node_bmin=scene.node_bmin,
-            node_bmax=scene.node_bmax,
-            node_first=scene.node_first,
-            node_count=scene.node_count,
-            node_skip=scene.node_skip,
-            v0=scene.tri_v0,
-            e1=scene.tri_e1,
-            e2=scene.tri_e2,
-            max_leaf=scene.max_leaf,
-        )
+        from ptsharp_tpu.accel import cluster as cluster_mod
+
+        tpc = scene.cluster_rows.shape[1] // 9 if scene.cluster_rows.size else 0
         for i in range(n_inst):
             inv = scene.inst_inv[i]
             o = _xform_point(inv[None], org)
             d = _xform_dir(inv[None], dirn)
-            t, tri, u, v = traverse.traverse(
-                mesh_arrays, o, d, best_t,
-                scene.inst_node_base[i], scene.inst_node_end[i],
-            )
-            take(t, PT_TRIANGLE, tri, inst=jnp.int32(i), u=u, v=v)
+            if scene.intersector == "cluster" and tpc:
+                t, slot, u, v = cluster_mod.intersect_clustered(
+                    (scene.cluster_bmin, scene.cluster_bmax,
+                     scene.cluster_rows, tpc,
+                     scene.inst_cluster_base[i], scene.inst_cluster_end[i],
+                     scene.u_rows, scene.leaf_rows,
+                     scene.u_inst_base[i], scene.u_inst_end[i],
+                     scene.max_leaf),
+                    o, d, best_t,
+                )
+            else:
+                t, slot, u, v = traverse.traverse_packed_chunked(
+                    scene.u_rows, scene.leaf_rows, o, d, best_t,
+                    scene.u_inst_base[i], scene.u_inst_end[i], scene.max_leaf,
+                )
+            take(t, PT_TRIANGLE, slot, inst=jnp.int32(i), u=u, v=v)
 
     # --- SDF objects (sphere trace) ---------------------------------------
     for i, (sdf_obj, _mid, lo, hi) in enumerate(scene.sdf_objects):
@@ -469,6 +450,8 @@ def closest_hit(scene: SceneData, org, dirn) -> Hit:
         t = fn_mod.intersect(hf, org, dirn, te, tx)
         take(t, PT_FUNCTION, jnp.int32(i))
 
+    if t_max is not None:
+        best_t = jnp.where(best_type == PT_NONE, INF, best_t)
     return Hit(best_t, best_type, best_idx, best_inst, best_u, best_v)
 
 

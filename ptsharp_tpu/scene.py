@@ -55,6 +55,9 @@ _DATA_FIELDS = [
     "tri_uv0", "tri_uv1", "tri_uv2", "tri_mat",
     "inst_inv", "inst_world", "inst_node_base", "inst_node_end", "inst_mat",
     "u_bmin", "u_bmax", "u_first", "u_count", "u_kind", "u_skip",
+    "u_rows", "leaf_rows",
+    "cluster_bmin", "cluster_bmax", "cluster_rows",
+    "inst_cluster_base", "inst_cluster_end",
     "u_inst_base", "u_inst_end",
     "light_ptype", "light_pindex", "light_center", "light_radius", "light_mat",
     "light_tri_start", "light_tri_end", "light_area",
@@ -66,7 +69,7 @@ _DATA_FIELDS = [
 _META_FIELDS = [
     "sdf_objects", "volumes", "functions", "sphere_xform", "cube_xform",
     "cyl_xform", "max_leaf", "env_texture", "has_surface_maps",
-    "tlas_end", "use_tlas",
+    "tlas_end", "use_tlas", "intersector",
 ]
 
 
@@ -136,6 +139,19 @@ class SceneData:
     u_count: jnp.ndarray
     u_kind: jnp.ndarray
     u_skip: jnp.ndarray
+    # packed hot-path tables: u_rows (N, 8) = one gather per node step
+    # [bmin, bmax, bits(first), bits(skip<<12|kind<<8|count)]; leaf_rows
+    # (n_leaves, leaf*9) = one gather per leaf visit [v0, e1, e2] per slot
+    u_rows: jnp.ndarray
+    leaf_rows: jnp.ndarray
+    # cluster tables for the fixed-depth cull intersector: GROUP consecutive
+    # leaf rows form one cluster; cluster_rows is a reshape of leaf_rows so
+    # cluster c's triangles occupy slots [c*G*leaf, (c+1)*G*leaf)
+    cluster_bmin: jnp.ndarray  # (C, 3)
+    cluster_bmax: jnp.ndarray
+    cluster_rows: jnp.ndarray  # (C, GROUP*leaf*9)
+    inst_cluster_base: jnp.ndarray  # per-instance cluster range
+    inst_cluster_end: jnp.ndarray
     u_inst_base: jnp.ndarray  # per-instance BLAS start in unified space
     u_inst_end: jnp.ndarray
     # light table for NEE
@@ -175,6 +191,7 @@ class SceneData:
     has_surface_maps: bool
     tlas_end: int    # number of TLAS nodes at the head of the u_* arrays
     use_tlas: bool   # static dispatch: unified traversal vs per-type passes
+    intersector: str  # mesh path: "cluster" (fixed-depth cull) or "walk"
 
     @property
     def num_lights(self) -> int:
@@ -186,6 +203,10 @@ def _affine(m: np.ndarray) -> np.ndarray:
 
 
 _IDENTITY34 = np.eye(4, dtype=np.float32)[:3, :4]
+
+# consecutive leaf rows per cluster for the fixed-depth cull intersector
+# (leaf preorder = BVH locality, so consecutive leaves cluster well)
+CLUSTER_GROUP = 16
 
 
 def _xform_aabb(world34: np.ndarray, lo, hi):
@@ -390,7 +411,8 @@ class SceneBuilder:
 
     # -- freeze ------------------------------------------------------------
 
-    def build(self, leaf_size: int = 8, use_tlas: bool | None = None) -> SceneData:
+    def build(self, leaf_size: int = 8, use_tlas: bool | None = None,
+              intersector: str = "cluster") -> SceneData:
         f32 = jnp.float32
         i32 = jnp.int32
 
@@ -399,20 +421,29 @@ class SceneBuilder:
                 return jnp.asarray(np.stack([np.asarray(r[idx], dtype) for r in rows]))
             return jnp.zeros((0,) + shape, dtype)
 
-        # --- meshes: concatenate, build one BVH per mesh, concat nodes ----
+        # --- meshes: one BVH per mesh; triangles re-laid into padded leaf
+        # SLOTS so a leaf's whole block is ONE contiguous row (n_leaves,
+        # leaf*9) — the TPU gather experiments (scripts/exp_gather.py) show
+        # row-gather cost is independent of row width, so traversal fetches
+        # a node row + a leaf row instead of ~29 scattered rows per step.
         node_bmin = []
         node_bmax = []
-        node_first = []
+        node_first = []  # leaf -> SLOT start (leaf_ord * leaf_size + offset)
         node_count = []
         node_skip = []
-        tri_v = []
+        tri_v = []      # slot-ordered, padded with degenerate zeros
         tri_n = []
         tri_uv = []
         tri_mat = []
+        leaf_rows_l = []  # (n_leaves, leaf*9) packed [v0, e1, e2] per slot
+        cl_bmin_l = []    # (n_clusters, 3) cluster AABBs
+        cl_bmax_l = []
         mesh_node_range = []  # per mesh: (base, end)
+        mesh_cluster_range = []  # per mesh: (cbase, cend)
         mesh_root_bounds = []  # per mesh: (lo, hi) of the BVH root
-        tri_offset = 0
+        slot_offset = 0
         node_offset = 0
+        cluster_offset = 0
         for mesh, def_mid in self._meshes:
             mesh = mesh.fix_normals()
             v = mesh.v
@@ -420,22 +451,76 @@ class SceneBuilder:
             hi = np.maximum(np.maximum(v[:, 0], v[:, 1]), v[:, 2])
             flat = bvh_mod.build(lo, hi, leaf_size=leaf_size)
             order = flat.order
-            tri_v.append(v[order])
-            tri_n.append(mesh.n[order])
-            tri_uv.append(mesh.uv[order])
+            sv = v[order]
+            sn = mesh.n[order]
+            suv = mesh.uv[order]
             if mesh.mat is not None and def_mid < 0:
-                tm = mesh.mat  # per-triangle materials (OBJ/MTL)
+                tm = mesh.mat[order]  # per-triangle materials (OBJ/MTL)
             else:
                 tm = np.full(v.shape[0], max(def_mid, 0), np.int32)
-            tri_mat.append(tm[order])
+
+            # slot re-layout: every leaf owns exactly leaf_size slots
+            leaf_ids = np.where(flat.count > 0)[0]
+            nl = leaf_ids.shape[0]
+            firsts = flat.first[leaf_ids]
+            counts = flat.count[leaf_ids]
+            lanes = np.arange(leaf_size, dtype=np.int32)
+            src = firsts[:, None] + lanes[None, :]
+            valid = lanes[None, :] < counts[:, None]
+            src = np.where(valid, src, 0).reshape(-1)
+            vmask = valid.reshape(-1)
+            slot_v = np.where(vmask[:, None, None], sv[src], 0.0).astype(np.float32)
+            slot_n = np.where(vmask[:, None, None], sn[src], 0.0).astype(np.float32)
+            slot_uv = np.where(vmask[:, None, None], suv[src], 0.0).astype(np.float32)
+            slot_m = np.where(vmask, tm[src], 0).astype(np.int32)
+
+            new_first = flat.first.copy()
+            new_first[leaf_ids] = (
+                np.arange(nl, dtype=np.int32) * leaf_size + slot_offset
+            )
+
+            # pad leaf count to a CLUSTER_GROUP multiple (zero slots never
+            # hit: degenerate triangles have det == 0)
+            lpad = (-nl) % CLUSTER_GROUP
+            if lpad:
+                zpad = lpad * leaf_size
+                slot_v = np.concatenate(
+                    [slot_v, np.zeros((zpad, 3, 3), np.float32)])
+                slot_n = np.concatenate(
+                    [slot_n, np.zeros((zpad, 3, 3), np.float32)])
+                slot_uv = np.concatenate(
+                    [slot_uv, np.zeros((zpad, 3, 2), np.float32)])
+                slot_m = np.concatenate([slot_m, np.zeros(zpad, np.int32)])
+            nlp = nl + lpad
+
+            e1s = slot_v[:, 1] - slot_v[:, 0]
+            e2s = slot_v[:, 2] - slot_v[:, 0]
+            rows = np.concatenate([slot_v[:, 0], e1s, e2s], axis=1)  # (S, 9)
+            leaf_rows_l.append(rows.reshape(nlp, leaf_size * 9))
+
+            # cluster AABBs from leaf bounds (padded with inverted boxes)
+            lb_min = np.full((nlp, 3), np.float32(np.inf))
+            lb_max = np.full((nlp, 3), np.float32(-np.inf))
+            lb_min[:nl] = flat.bmin[leaf_ids]
+            lb_max[:nl] = flat.bmax[leaf_ids]
+            nc = nlp // CLUSTER_GROUP
+            cl_bmin_l.append(lb_min.reshape(nc, CLUSTER_GROUP, 3).min(axis=1))
+            cl_bmax_l.append(lb_max.reshape(nc, CLUSTER_GROUP, 3).max(axis=1))
+            mesh_cluster_range.append((cluster_offset, cluster_offset + nc))
+            cluster_offset += nc
+
+            tri_v.append(slot_v)
+            tri_n.append(slot_n)
+            tri_uv.append(slot_uv)
+            tri_mat.append(slot_m)
             node_bmin.append(flat.bmin)
             node_bmax.append(flat.bmax)
-            node_first.append(flat.first + tri_offset)
+            node_first.append(new_first)
             node_count.append(flat.count)
             node_skip.append(flat.skip + node_offset)
             mesh_node_range.append((node_offset, node_offset + flat.bmin.shape[0]))
             mesh_root_bounds.append((flat.bmin[0].copy(), flat.bmax[0].copy()))
-            tri_offset += v.shape[0]
+            slot_offset += nl * leaf_size
             node_offset += flat.bmin.shape[0]
 
         if self._meshes:
@@ -443,12 +528,12 @@ class SceneBuilder:
             tn = np.concatenate(tri_n)
             tuv = np.concatenate(tri_uv)
             tmat = np.concatenate(tri_mat)
-            # pad by leaf_size so fixed-width leaf gathers never run off
-            pad = leaf_size
-            tv = np.concatenate([tv, np.zeros((pad, 3, 3), np.float32)])
-            tn = np.concatenate([tn, np.zeros((pad, 3, 3), np.float32)])
-            tuv = np.concatenate([tuv, np.zeros((pad, 3, 2), np.float32)])
-            tmat = np.concatenate([tmat, np.zeros(pad, np.int32)])
+            leaf_rows = np.concatenate(leaf_rows_l)
+            cl_bmin = np.concatenate(cl_bmin_l)
+            cl_bmax = np.concatenate(cl_bmax_l)
+            cluster_rows = leaf_rows.reshape(
+                cl_bmin.shape[0], CLUSTER_GROUP * leaf_size * 9
+            )
             v0, v1, v2 = tv[:, 0], tv[:, 1], tv[:, 2]
             nodes = (
                 np.concatenate(node_bmin),
@@ -462,6 +547,11 @@ class SceneBuilder:
             tn = np.zeros((0, 3, 3), np.float32)
             tuv = np.zeros((0, 3, 2), np.float32)
             tmat = np.zeros(0, np.int32)
+            leaf_rows = np.zeros((0, leaf_size * 9), np.float32)
+            cl_bmin = np.zeros((0, 3), np.float32)
+            cl_bmax = np.zeros((0, 3), np.float32)
+            cluster_rows = np.zeros((0, CLUSTER_GROUP * leaf_size * 9),
+                                    np.float32)
             nodes = (
                 np.zeros((0, 3), np.float32),
                 np.zeros((0, 3), np.float32),
@@ -471,9 +561,11 @@ class SceneBuilder:
             )
 
         inst_rows = []
+        inst_cluster = []
         for mesh_idx, inv, world, over in self._instances:
             base, end = mesh_node_range[mesh_idx]
             inst_rows.append((inv, world, base, end, over))
+            inst_cluster.append(mesh_cluster_range[mesh_idx])
 
         # --- TLAS over all objects (Tree.cs:22-42, Scene.cs:56-66) ---------
         # One flattened BVH whose singleton leaves are typed object entries;
@@ -528,6 +620,22 @@ class SceneBuilder:
             u_count = np.zeros(0, np.int32)
             u_kind = np.zeros(0, np.int32)
             u_skip = np.zeros(0, np.int32)
+
+        # packed node rows: ONE row gather fetches a whole node
+        # [bmin(3), bmax(3), bits(first), bits(skip<<12 | kind<<8 | count)]
+        n_u = u_bmin.shape[0]
+        assert n_u < (1 << 19), "node count exceeds packed skip field"
+        assert leaf_size <= 255
+        u_rows = np.zeros((n_u, 8), np.float32)
+        u_rows[:, 0:3] = u_bmin
+        u_rows[:, 3:6] = u_bmax
+        u_rows[:, 6] = u_first.astype(np.int32).view(np.float32)
+        bits2 = (
+            (u_skip.astype(np.int64) << 12)
+            | (u_kind.astype(np.int64) << 8)
+            | np.minimum(u_count, 255).astype(np.int64)
+        ).astype(np.int32)
+        u_rows[:, 7] = bits2.view(np.float32)
 
         # --- per-triangle emissive light geometry ---------------------------
         # For each PT_TRIANGLE light, collect its instance's emissive
@@ -642,6 +750,15 @@ class SceneBuilder:
             u_count=jnp.asarray(u_count),
             u_kind=jnp.asarray(u_kind),
             u_skip=jnp.asarray(u_skip),
+            u_rows=jnp.asarray(u_rows),
+            leaf_rows=jnp.asarray(leaf_rows),
+            cluster_bmin=jnp.asarray(cl_bmin),
+            cluster_bmax=jnp.asarray(cl_bmax),
+            cluster_rows=jnp.asarray(cluster_rows),
+            inst_cluster_base=jnp.asarray(
+                np.asarray([c[0] for c in inst_cluster], np.int32)),
+            inst_cluster_end=jnp.asarray(
+                np.asarray([c[1] for c in inst_cluster], np.int32)),
             u_inst_base=soa(inst_rows, 2, (), np.int32) + tlas_n,
             u_inst_end=soa(inst_rows, 3, (), np.int32) + tlas_n,
             light_ptype=soa(self._lights, 0, (), np.int32),
@@ -673,6 +790,7 @@ class SceneBuilder:
             env_texture=self.env_texture,
             tlas_end=int(tlas_n),
             use_tlas=use_tlas,
+            intersector=intersector,
             has_surface_maps=any(
                 m.normal_texture >= 0 or m.bump_texture >= 0
                 for m in self._materials
