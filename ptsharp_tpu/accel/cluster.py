@@ -111,9 +111,10 @@ def intersect_clustered(scene_arrays, org, dirn, t_max, k_cand: int = 12,
             c_bmin, c_bmax, c_rows, tpc, o, d, t, cbase, cend, k_cand
         )
         # rare overflow rays finish with the t-bounded skip-link walk;
-        # resolved rays pass t_max = 0 and fall through immediately
+        # resolved rays pass t_max = -inf so even origin-inside-box rays
+        # (tmin < 0) fail every slab test and fall through in one step
         wt, ws, wu, wv = traverse.traverse_packed(
-            u_rows, leaf_rows, o, d, jnp.where(unres, bt, 0.0),
+            u_rows, leaf_rows, o, d, jnp.where(unres, bt, -vec.INF),
             nbase, nend, leaf_size,
         )
         got = wt < bt

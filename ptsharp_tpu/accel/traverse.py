@@ -279,11 +279,12 @@ def traverse_packed_chunked(rows, leaf_rows, org, dirn, t_max, base, end,
     tm = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
     pad = (-r) % chunk
     if pad:
-        # padded rays carry t_max = 0: the root box test fails instantly
-        # and the cursor skips straight to `end` (one iteration)
+        # padded rays carry t_max = -inf: every slab test fails (even with
+        # origin inside a box, where tmin < 0) and the cursor skips
+        # straight to `end` in one iteration
         org = jnp.concatenate([org, jnp.zeros((pad, 3), org.dtype)])
         dirn = jnp.concatenate([dirn, jnp.ones((pad, 3), dirn.dtype)])
-        tm = jnp.concatenate([tm, jnp.zeros((pad,), jnp.float32)])
+        tm = jnp.concatenate([tm, jnp.full((pad,), -vec.INF, jnp.float32)])
 
     def one(args):
         o, d, t = args

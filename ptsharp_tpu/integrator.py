@@ -26,6 +26,7 @@ are bit-reproducible given (scene, config, key).
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import NamedTuple
 
@@ -322,6 +323,110 @@ def _bounce(scene: SceneData, cfg: IntegratorConfig, state: RayState,
     return new_org, new_dir, branch_weight, is_specular, p
 
 
+def _step(scene: SceneData, cfg: IntegratorConfig, state, rays, depth_key,
+          u1, u2, force_mode, depth_static,
+          pre_hit=None, count_primary=True, suppress_shared=False):
+    """One wavefront bounce. Returns (state, rays, first_albedo,
+    first_normal). pre_hit lets a branch split share one primary
+    closest-hit between its two branches (Sampler.cs:85-131 re-traces;
+    we don't). suppress_shared: this is the second wavefront of a
+    branch split — env/emissive contributions at THIS hit were already
+    accumulated by the first wavefront, so only the continuation may
+    add radiance (the caller also zeroes the inherited radiance so the
+    final sum over wavefronts counts everything exactly once)."""
+    hit = pre_hit if pre_hit is not None else closest_hit(
+        scene, state.org, state.dirn
+    )
+    if count_primary:
+        rays = rays + jnp.sum(state.alive.astype(jnp.int32))
+    info = hit_info(scene, state.org, state.dirn, hit)
+    mat = scene.materials.gather(info.mat_id)
+    color = _resolve_color(scene, mat, info)
+    gloss = _resolve_gloss(scene, mat, info)
+
+    missed = hit.ptype == PT_NONE
+    env = sample_environment(scene, state.dirn)
+    shared_on = jnp.asarray(not suppress_shared)
+    radiance = state.radiance + jnp.where(
+        (state.alive & missed & shared_on)[:, None],
+        state.throughput * env, 0.0,
+    )
+    alive = state.alive & ~missed
+
+    # emissive hit (Sampler.cs:73-80): suppressed emission kills the
+    # path with zero contribution; allowed emission accumulates and the
+    # path keeps scattering like the reference.
+    # without NEE every path carries emission (the reference's
+    # `!DirectLighting || emission` guard, Sampler.cs:73-80); with NEE
+    # only specular-continued paths may add it (no double counting)
+    emissive = mat.emittance > 0.0
+    emission_allowed = (
+        state.emission_ok if cfg.direct_lighting
+        else jnp.ones_like(state.emission_ok)
+    )
+    emit_add = (alive & emissive & emission_allowed & shared_on)
+    radiance = radiance + jnp.where(
+        emit_add[:, None],
+        state.throughput * color * mat.emittance[:, None],
+        0.0,
+    )
+    if cfg.direct_lighting:
+        alive = alive & ~(emissive & ~state.emission_ok)
+
+    kb, kn, krr = jax.random.split(depth_key, 3)
+    new_org, new_dir, branch_w, is_spec, _p = _bounce(
+        scene, cfg, state, info, mat, color, gloss, kb, u1, u2, force_mode
+    )
+
+    throughput = state.throughput * branch_w
+
+    # NEE on the diffuse branch (Sampler.cs:123-127): the contribution
+    # is albedo * direct, i.e. post-branch throughput * direct.
+    if cfg.direct_lighting and scene.num_lights > 0:
+        direct, srays = sample_lights(
+            scene, cfg, info.position, info.normal, kn
+        )
+        nee_mask = alive & ~is_spec
+        radiance = radiance + jnp.where(
+            nee_mask[:, None], throughput * direct, 0.0
+        )
+        rays = rays + jnp.sum(nee_mask.astype(jnp.int32))
+
+    emission_ok = is_spec
+
+    # Russian roulette (first-class masked termination; the reference's
+    # version is dead code, Sampler.cs:133-142). depth_static may be a
+    # traced scalar inside the depth scan, so the start-depth gate is a
+    # where, not a Python branch.
+    if cfg.russian_roulette:
+        gate = jnp.asarray(depth_static) >= cfg.rr_start_depth
+        prob = jnp.clip(
+            jnp.max(jax.lax.stop_gradient(throughput), axis=-1),
+            cfg.rr_min_prob,
+            1.0,
+        )
+        prob = jnp.where(gate, prob, 1.0)
+        u = jax.random.uniform(krr, prob.shape)
+        survive = u < prob
+        throughput = jnp.where(
+            survive[:, None], throughput / prob[:, None], throughput
+        )
+        alive = alive & survive
+
+    new_state = RayState(
+        org=jnp.where(alive[:, None], new_org, state.org),
+        dirn=jnp.where(alive[:, None], new_dir, state.dirn),
+        throughput=jnp.where(alive[:, None], throughput, state.throughput),
+        radiance=radiance,
+        emission_ok=jnp.where(alive, emission_ok, state.emission_ok),
+        alive=alive,
+    )
+    first_albedo = color
+    first_normal = info.normal
+    return new_state, rays, first_albedo, first_normal
+
+
+
 def trace(
     scene: SceneData,
     cfg: IntegratorConfig,
@@ -337,118 +442,19 @@ def trace(
     stratified first-hit sampling (Sampler.cs:96-102). Returns TraceResult.
     """
     r = org.shape[0]
-    zeros3 = jnp.zeros((r, 3), jnp.float32)
-
     state = RayState(
         org=org,
         dirn=dirn,
         throughput=jnp.ones((r, 3), jnp.float32),
-        radiance=zeros3,
+        radiance=jnp.zeros((r, 3), jnp.float32),
         emission_ok=jnp.ones(r, bool),
         alive=jnp.ones(r, bool),
     )
     rays = jnp.int32(0)
 
-    def step(state, rays, depth_key, u1, u2, force_mode, depth_static,
-             pre_hit=None, count_primary=True, suppress_shared=False):
-        """One wavefront bounce. Returns (state, rays, first_albedo,
-        first_normal). pre_hit lets a branch split share one primary
-        closest-hit between its two branches (Sampler.cs:85-131 re-traces;
-        we don't). suppress_shared: this is the second wavefront of a
-        branch split — env/emissive contributions at THIS hit were already
-        accumulated by the first wavefront, so only the continuation may
-        add radiance (the caller also zeroes the inherited radiance so the
-        final sum over wavefronts counts everything exactly once)."""
-        hit = pre_hit if pre_hit is not None else closest_hit(
-            scene, state.org, state.dirn
-        )
-        if count_primary:
-            rays = rays + jnp.sum(state.alive.astype(jnp.int32))
-        info = hit_info(scene, state.org, state.dirn, hit)
-        mat = scene.materials.gather(info.mat_id)
-        color = _resolve_color(scene, mat, info)
-        gloss = _resolve_gloss(scene, mat, info)
+    def step(*a, **kw):
+        return _step(scene, cfg, *a, **kw)
 
-        missed = hit.ptype == PT_NONE
-        env = sample_environment(scene, state.dirn)
-        shared_on = jnp.asarray(not suppress_shared)
-        radiance = state.radiance + jnp.where(
-            (state.alive & missed & shared_on)[:, None],
-            state.throughput * env, 0.0,
-        )
-        alive = state.alive & ~missed
-
-        # emissive hit (Sampler.cs:73-80): suppressed emission kills the
-        # path with zero contribution; allowed emission accumulates and the
-        # path keeps scattering like the reference.
-        # without NEE every path carries emission (the reference's
-        # `!DirectLighting || emission` guard, Sampler.cs:73-80); with NEE
-        # only specular-continued paths may add it (no double counting)
-        emissive = mat.emittance > 0.0
-        emission_allowed = (
-            state.emission_ok if cfg.direct_lighting
-            else jnp.ones_like(state.emission_ok)
-        )
-        emit_add = (alive & emissive & emission_allowed & shared_on)
-        radiance = radiance + jnp.where(
-            emit_add[:, None],
-            state.throughput * color * mat.emittance[:, None],
-            0.0,
-        )
-        if cfg.direct_lighting:
-            alive = alive & ~(emissive & ~state.emission_ok)
-
-        kb, kn, krr = jax.random.split(depth_key, 3)
-        new_org, new_dir, branch_w, is_spec, _p = _bounce(
-            scene, cfg, state, info, mat, color, gloss, kb, u1, u2, force_mode
-        )
-
-        throughput = state.throughput * branch_w
-
-        # NEE on the diffuse branch (Sampler.cs:123-127): the contribution
-        # is albedo * direct, i.e. post-branch throughput * direct.
-        if cfg.direct_lighting and scene.num_lights > 0:
-            direct, srays = sample_lights(
-                scene, cfg, info.position, info.normal, kn
-            )
-            nee_mask = alive & ~is_spec
-            radiance = radiance + jnp.where(
-                nee_mask[:, None], throughput * direct, 0.0
-            )
-            rays = rays + jnp.sum(nee_mask.astype(jnp.int32))
-
-        emission_ok = is_spec
-
-        # Russian roulette (first-class masked termination; the reference's
-        # version is dead code, Sampler.cs:133-142). depth_static may be a
-        # traced scalar inside the depth scan, so the start-depth gate is a
-        # where, not a Python branch.
-        if cfg.russian_roulette:
-            gate = jnp.asarray(depth_static) >= cfg.rr_start_depth
-            prob = jnp.clip(
-                jnp.max(jax.lax.stop_gradient(throughput), axis=-1),
-                cfg.rr_min_prob,
-                1.0,
-            )
-            prob = jnp.where(gate, prob, 1.0)
-            u = jax.random.uniform(krr, prob.shape)
-            survive = u < prob
-            throughput = jnp.where(
-                survive[:, None], throughput / prob[:, None], throughput
-            )
-            alive = alive & survive
-
-        new_state = RayState(
-            org=jnp.where(alive[:, None], new_org, state.org),
-            dirn=jnp.where(alive[:, None], new_dir, state.dirn),
-            throughput=jnp.where(alive[:, None], throughput, state.throughput),
-            radiance=radiance,
-            emission_ok=jnp.where(alive, emission_ok, state.emission_ok),
-            alive=alive,
-        )
-        first_albedo = color
-        first_normal = info.normal
-        return new_state, rays, first_albedo, first_normal
 
     # ---- depth 0: stratified draws + optional branch split ---------------
     k0, krest = jax.random.split(key)
@@ -538,3 +544,139 @@ def trace(
         normal=nrm,
         rays_traced=rays,
     )
+
+
+# ---------------------------------------------------------------------------
+# On-device wavefront compaction (the replacement BASELINE names for the
+# reference's WorkStealingScheduler.cs:9-30 dynamic load balancing):
+# Russian roulette kills most lanes by mid-depth; instead of dragging dead
+# lanes through every remaining bounce, the renderer syncs the live count
+# once, sorts survivors to a dense prefix ON DEVICE, and finishes the tail
+# depths on a power-of-two-bucketed buffer (so jit caches stay warm).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_strat", "d_stop"))
+def _trace_prefix(scene, cfg: IntegratorConfig, org, dirn, key, strat_idx,
+                  n_strat, d_stop: int):
+    """Depths [0, d_stop) for the naive specular mode. Returns the carried
+    state plus depth-0 AOVs."""
+    r = org.shape[0]
+    state = RayState(
+        org=org,
+        dirn=dirn,
+        throughput=jnp.ones((r, 3), jnp.float32),
+        radiance=jnp.zeros((r, 3), jnp.float32),
+        emission_ok=jnp.ones(r, bool),
+        alive=jnp.ones(r, bool),
+    )
+    rays = jnp.int32(0)
+    k0, krest = jax.random.split(key)
+    k0a, k0u, k0v = jax.random.split(k0, 3)
+    ju = jax.random.uniform(k0u, (r,))
+    jv = jax.random.uniform(k0v, (r,))
+    if strat_idx is not None and n_strat > 1:
+        u1, u2 = sampling.stratified_pair(ju, jv, n_strat, strat_idx)
+    else:
+        u1, u2 = ju, jv
+    state, rays, alb, nrm = _step(scene, cfg, state, rays, k0a, u1, u2,
+                                  None, 0)
+    state, rays = _trace_span(scene, cfg, state, rays, krest, 1, d_stop)
+    return state, rays, alb, nrm, krest
+
+
+def _trace_span(scene, cfg: IntegratorConfig, state, rays, krest,
+                d0: int, d1: int):
+    """lax.scan over depths [d0, d1)."""
+    if d1 <= d0:
+        return state, rays
+    r = state.org.shape[0]
+
+    def scan_body(carry, depth):
+        cur, rays_acc = carry
+        # same key chain as trace()'s scan (si = 0) so the compacted path
+        # retraces bit-identical random decisions
+        dk = jax.random.fold_in(jax.random.fold_in(krest, 0), depth)
+        ku_, kv_ = jax.random.split(jax.random.fold_in(dk, 7))
+        uu = jax.random.uniform(ku_, (r,))
+        vv = jax.random.uniform(kv_, (r,))
+        cur, rays_acc, _, _ = _step(scene, cfg, cur, rays_acc, dk, uu, vv,
+                                    None, depth)
+        return (cur, rays_acc), None
+
+    (state, rays), _ = jax.lax.scan(
+        scan_body, (state, rays), jnp.arange(d0, d1)
+    )
+    return state, rays
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _compact_state(state: RayState, cap: int):
+    """Sort survivors to a dense prefix and take the first `cap` lanes.
+    Returns (small_state_with_zero_radiance, src_indices)."""
+    order = jnp.argsort(jnp.logical_not(state.alive), stable=True)
+    src = order[:cap]
+    small = RayState(
+        org=state.org[src],
+        dirn=state.dirn[src],
+        throughput=state.throughput[src],
+        radiance=jnp.zeros((cap, 3), jnp.float32),
+        emission_ok=state.emission_ok[src],
+        alive=state.alive[src],
+    )
+    return small, src
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "d0", "d1"))
+def _trace_tail(scene, cfg: IntegratorConfig, small: RayState, krest,
+                d0: int, d1: int):
+    rays = jnp.int32(0)
+    small, rays = _trace_span(scene, cfg, small, rays, krest, d0, d1)
+    return small.radiance, rays
+
+
+@jax.jit
+def _scatter_add(full, src, delta):
+    return full.at[src].add(delta)
+
+
+def trace_compacted(
+    scene: SceneData,
+    cfg: IntegratorConfig,
+    org,
+    dirn,
+    key,
+    strat_idx=None,
+    n_strat: int = 1,
+    compact_at: int | None = None,
+    min_cap: int = 1 << 12,
+):
+    """trace() with one host-synced compaction point: depths up to
+    `compact_at` (default rr_start_depth + 1) run at full width; survivors
+    are then argsort-compacted on device into the smallest power-of-two
+    buffer and the remaining depths run at that width. Falls back to plain
+    trace() when compaction can't help (no RR, branch-split modes, or
+    nothing culled)."""
+    if cfg.specular_mode != SPECULAR_MODE_NAIVE or not cfg.russian_roulette:
+        return trace(scene, cfg, org, dirn, key, strat_idx, n_strat)
+    d_stop = compact_at if compact_at is not None else cfg.rr_start_depth + 1
+    d_stop = min(d_stop, cfg.max_bounces + 1)
+    state, rays, alb, nrm, krest = _trace_prefix(
+        scene, cfg, org, dirn, key, strat_idx, n_strat, d_stop
+    )
+    if d_stop > cfg.max_bounces:
+        return TraceResult(state.radiance, alb, nrm, rays)
+
+    r = org.shape[0]
+    n_alive = int(jnp.sum(state.alive))  # the one host sync
+    cap = max(min_cap, 1 << max(0, (n_alive - 1)).bit_length())
+    if cap >= r:  # nothing culled: finish at full width
+        state, rays = _trace_span(scene, cfg, state, rays, krest,
+                                  d_stop, cfg.max_bounces + 1)
+        return TraceResult(state.radiance, alb, nrm, rays)
+
+    small, src = _compact_state(state, cap)
+    delta, tail_rays = _trace_tail(scene, cfg, small, krest, d_stop,
+                                   cfg.max_bounces + 1)
+    radiance = _scatter_add(state.radiance, src, delta)
+    return TraceResult(radiance, alb, nrm, rays + tail_rays)

@@ -42,6 +42,12 @@ class RenderConfig:
     firefly_threshold: float = 1.0
     filter: str = "box"  # pixel reconstruction filter (box/triangle/gaussian)
     max_rays_per_chunk: int = 1 << 21  # wavefront width bound (memory knob)
+    # wavefront compaction (trace_compacted): after Russian roulette culls
+    # the wavefront, survivors are argsort-compacted into a power-of-two
+    # buffer for the tail depths. One host sync per chunk — a win for big
+    # chunks / deep bounce budgets, a loss for small pipelined chunks on
+    # high-dispatch-latency links, hence opt-in.
+    compaction: bool = False
 
 
 class Renderer:
@@ -73,11 +79,8 @@ class Renderer:
         cfg = self.config
         icfg = self.integrator
 
-        def render_chunk(scene: SceneData, camera: Camera, key, row0,
-                         rows: int, spp: int, weight_rows):
-            """Render `spp` samples for image rows [row0, row0+rows).
-            weight_rows: (spp, rows, W) 0/1 mask for adaptive passes (or
-            None). Returns per-chunk Film stats + ray count."""
+        def raygen(scene: SceneData, camera: Camera, key, row0, rows: int,
+                   spp: int):
             w = cfg.width
             ys = row0 + jnp.arange(rows)
             xs = jnp.arange(w)
@@ -101,7 +104,6 @@ class Renderer:
             org, dirn = camera.cast_rays(
                 pix_x, pix_y, cfg.width, cfg.height, ju, jv, lens_u, lens_v
             )
-
             n_strat = max(1, int(np.sqrt(spp))) if cfg.stratified else 1
             sidx2 = (
                 jnp.broadcast_to(
@@ -111,8 +113,10 @@ class Renderer:
                 if n_strat > 1
                 else None
             )
-            result = trace(scene, icfg, org, dirn, kt, sidx2, n_strat)
+            return org, dirn, kt, sidx2, ju, jv
 
+        def film_accumulate(result, ju, jv, rows: int, spp: int, weight_rows):
+            w = cfg.width
             radiance = result.radiance.reshape(spp, rows, w, 3)
             albedo = result.albedo.reshape(spp, rows, w, 3)
             normal = result.normal.reshape(spp, rows, w, 3)
@@ -129,9 +133,39 @@ class Renderer:
             chunk = chunk.add_batch(radiance, weight, albedo, normal)
             return chunk, result.rays_traced
 
+        def render_chunk(scene: SceneData, camera: Camera, key, row0,
+                         rows: int, spp: int, weight_rows):
+            """Render `spp` samples for image rows [row0, row0+rows).
+            weight_rows: (spp, rows, W) 0/1 mask for adaptive passes (or
+            None). Returns per-chunk Film stats + ray count."""
+            org, dirn, kt, sidx2, ju, jv = raygen(
+                scene, camera, key, row0, rows, spp
+            )
+            n_strat = max(1, int(np.sqrt(spp))) if cfg.stratified else 1
+            result = trace(scene, icfg, org, dirn, kt, sidx2, n_strat)
+            return film_accumulate(result, ju, jv, rows, spp, weight_rows)
+
         self._chunk_fn = jax.jit(
             render_chunk, static_argnames=("rows", "spp"),
         )
+
+        if cfg.compaction:
+            from ptsharp_tpu.integrator import trace_compacted
+
+            raygen_j = jax.jit(raygen, static_argnames=("rows", "spp"))
+            film_j = jax.jit(film_accumulate, static_argnames=("rows", "spp"))
+
+            def compacted_chunk(scene, camera, key, row0, rows, spp,
+                                weight_rows):
+                org, dirn, kt, sidx2, ju, jv = raygen_j(
+                    scene, camera, key, row0, rows, spp
+                )
+                n_strat = max(1, int(np.sqrt(spp))) if cfg.stratified else 1
+                result = trace_compacted(scene, icfg, org, dirn, kt, sidx2,
+                                         n_strat)
+                return film_j(result, ju, jv, rows, spp, weight_rows)
+
+            self._chunk_fn = compacted_chunk
 
     def _render_pass(self, film: Film, key, spp: int, weight=None) -> Film:
         """One spp-sample pass over the whole image, chunked by rows.
