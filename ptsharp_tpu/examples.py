@@ -208,6 +208,216 @@ def bunny(width=1920, height=1080, subdivisions: int = 6):
         IntegratorConfig(max_bounces=4)
 
 
+@example("dragon")
+def dragon(width=512, height=288):
+    """High-poly glossy showcase (reference dragon, Example.cs:977-995; the
+    OBJ asset is not shipped — a serpentine displaced icosphere stands in
+    at ~80k triangles, same BVH/shading load)."""
+    m = _bunny_mesh(6, seed=23)
+    v = m.v.reshape(-1, 3).copy()
+    # serpentine stretch + twist
+    t = v[:, 0] * 1.5
+    c, s = np.cos(t * 0.8), np.sin(t * 0.8)
+    y = v[:, 1] * c - v[:, 2] * s
+    z = v[:, 1] * s + v[:, 2] * c
+    v[:, 1], v[:, 2] = y * 0.6, z * 0.8
+    v[:, 0] *= 1.9
+    m = TriMesh(v=v.reshape(-1, 3, 3), uv=m.uv).smooth_normals()
+    b = SceneBuilder()
+    gold = glossy_material([0.85, 0.64, 0.23], 1.8, math.radians(12))
+    b.add_mesh(m.fit_inside([-1.6, 0, -0.8], [1.6, 1.2, 0.8], [0.5, 0, 0.5]),
+               gold)
+    b.add_plane([0, 0, 0], [0, 1, 0], diffuse_material([0.4, 0.42, 0.45]))
+    b.add_sphere([-2.5, 5, -3], 1.4, light_material([1, 1, 1], 10.0))
+    b.set_environment(color=[0.16, 0.18, 0.22])
+    scene = b.build(leaf_size=8)
+    cam = Camera.look_at([0, 1.6, -3.6], [0, 0.5, 0], [0, 1, 0], 42.0)
+    return scene, cam, RenderConfig(width=width, height=height, spp=16), \
+        IntegratorConfig(max_bounces=4)
+
+
+@example("teapot")
+def teapot(width=512, height=384):
+    """CSG-meshed teapot stand-in (reference teapot, Example.cs:1349-1382):
+    supersphere body + torus handle + capsule spout, iso-surfaced by
+    marching tetrahedra into a real triangle mesh."""
+    from ptsharp_tpu.geometry import mc
+    from ptsharp_tpu.geometry.sdf import (
+        SdfCapsule, SdfSphere, SdfTorus, SdfTransform, SdfUnion,
+    )
+
+    body = SdfSphere(radius=1.0, exponent=3.0)  # squarish supersphere body
+    handle = SdfTransform(
+        SdfTorus(major=0.45, minor=0.1), transform.translate([-1.05, 0.1, 0.0])
+    )
+    spout = SdfTransform(
+        SdfCapsule(a=[0, 0, 0], b=[0.9, 0.55, 0.0], radius=0.14),
+        transform.translate([0.8, 0.0, 0.0]),
+    )
+    pot = SdfUnion(body, handle, spout)
+    m = mc.sdf_mesh(pot.evaluate, [-2.2, -1.4, -1.4], [2.2, 1.4, 1.4], 0.06)
+    m = m.smooth_normals_threshold(math.radians(40))
+    b = SceneBuilder()
+    b.add_mesh(m.fit_inside([-1, 0, -1], [1, 1.4, 1], [0.5, 0, 0.5]),
+               glossy_material([0.75, 0.78, 0.82], 1.6, math.radians(18)))
+    b.add_plane([0, 0, 0], [0, 1, 0], diffuse_material([0.7, 0.68, 0.62]))
+    b.add_sphere([2.5, 5, -2.5], 1.2, light_material([1, 1, 1], 9.0))
+    b.set_environment(color=[0.12, 0.13, 0.16])
+    scene = b.build(leaf_size=8)
+    cam = Camera.look_at([0, 1.6, -3.4], [0, 0.6, 0], [0, 1, 0], 40.0)
+    return scene, cam, RenderConfig(width=width, height=height, spp=16), \
+        IntegratorConfig(max_bounces=3)
+
+
+@example("suzanne")
+def suzanne(width=512, height=384):
+    """Head-ish displaced mesh (reference suzanne, Example.cs:1318-1347)."""
+    m = sphere_mesh([0, 0, 0], 1.0, subdivisions=5)
+    v = m.v.reshape(-1, 3).astype(np.float64)
+    d = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+    x, y, z = d[:, 0], d[:, 1], d[:, 2]
+    # brow ridge, muzzle and two ears
+    disp = (
+        0.30 * np.exp(-14.0 * ((np.abs(x) - 0.75) ** 2 + (y - 0.72) ** 2 + z**2))
+        + 0.25 * np.exp(-10.0 * (x**2 + (y + 0.35) ** 2 + (z + 0.9) ** 2))
+        + 0.08 * np.sin(3.0 * y) * np.cos(2.0 * x)
+    )
+    v2 = (d * (1.0 + disp)[:, None]) * np.array([1.0, 0.85, 0.8])
+    m = TriMesh(v=v2.reshape(-1, 3, 3).astype(np.float32),
+                uv=m.uv).smooth_normals()
+    b = SceneBuilder()
+    b.add_mesh(m.fit_inside([-1, 0.2, -1], [1, 2.2, 1], [0.5, 0, 0.5]),
+               diffuse_material([0.62, 0.45, 0.3]))
+    b.add_plane([0, 0, 0], [0, 1, 0], diffuse_material([0.72, 0.7, 0.66]))
+    b.add_sphere([2, 5, -3], 1.3, light_material([1, 1, 1], 9.0))
+    b.set_environment(color=[0.1, 0.11, 0.14])
+    scene = b.build(leaf_size=8)
+    cam = Camera.look_at([0, 1.7, -3.8], [0, 1.1, 0], [0, 1, 0], 38.0)
+    return scene, cam, RenderConfig(width=width, height=height, spp=16), \
+        IntegratorConfig(max_bounces=3)
+
+
+@example("gopher")
+def gopher(width=448, height=448):
+    """Mascot from analytic parts (reference gopher, Example.cs:1542-1564):
+    body/head spheres, transformed-cylinder limbs, sphere eyes."""
+    b = SceneBuilder()
+    blue = diffuse_material([0.35, 0.65, 0.85])
+    cream = diffuse_material([0.9, 0.85, 0.75])
+    dark = diffuse_material([0.05, 0.05, 0.06])
+    b.add_sphere([0, 0.9, 0], 0.9, blue,
+                 transform=transform.scale([0.85, 1.0, 0.7]))
+    b.add_sphere([0, 2.1, 0], 0.62, blue)
+    for sx in (-1, 1):
+        b.add_sphere([0.42 * sx, 2.55, -0.25], 0.22, cream)  # ears
+        b.add_sphere([0.26 * sx, 2.2, -0.5], 0.17, cream)    # eye whites
+        b.add_sphere([0.26 * sx, 2.2, -0.64], 0.07, dark)    # pupils
+        t = transform.translate([0.75 * sx, 0.6, 0]) @ \
+            transform.rotate([0, 0, 1], math.radians(25.0 * sx))
+        b.add_cylinder(0.14, -0.45, 0.45, blue, transform=t)  # arms
+    b.add_sphere([0, 2.05, -0.62], 0.1, cream)  # snout
+    b.add_plane([0, 0, 0], [0, 1, 0], diffuse_material([0.75, 0.73, 0.7]))
+    b.add_sphere([3, 6, -4], 1.6, light_material([1, 1, 1], 8.0))
+    b.set_environment(color=[0.2, 0.23, 0.28])
+    scene = b.build()
+    cam = Camera.look_at([0, 1.9, -4.6], [0, 1.4, 0], [0, 1, 0], 40.0)
+    return scene, cam, RenderConfig(width=width, height=height, spp=16), \
+        IntegratorConfig(max_bounces=3)
+
+
+def _brick_mesh() -> TriMesh:
+    """2x4 toy brick with studs (Util.CreateBrick stand-in: the STL asset
+    is not shipped; studs are small boxes)."""
+    parts = [cube_mesh([0, 0, 0], [4, 1.0, 2])]
+    for i in range(4):
+        for j in range(2):
+            cx, cz = 0.5 + i, 0.5 + j
+            parts.append(cube_mesh([cx - 0.28, 1.0, cz - 0.28],
+                                   [cx + 0.28, 1.28, cz + 0.28]))
+    v = np.concatenate([p.v for p in parts])
+    return TriMesh(v=v)
+
+
+@example("toybrick")
+def toybrick(width=512, height=384, rows=6, cols=6):
+    """Instanced toy-brick wall (reference toybrick, Example.cs:1229-1272)
+    — one brick mesh, dozens of TransformedShape instances through the
+    TLAS, per-instance material overrides."""
+    rng = np.random.default_rng(4)
+    palette = [
+        diffuse_material(c) for c in
+        ([0.78, 0.12, 0.1], [0.98, 0.75, 0.1], [0.1, 0.4, 0.75],
+         [0.1, 0.6, 0.25], [0.95, 0.95, 0.95], [0.95, 0.45, 0.1])
+    ]
+    b = SceneBuilder()
+    mid = None
+    brick = _brick_mesh()
+    for r_ in range(rows):
+        off = 2.0 if r_ % 2 else 0.0
+        for c_ in range(cols):
+            t = transform.translate([c_ * 4.0 + off - cols * 2, r_ * 1.0, 0])
+            mat = palette[int(rng.integers(len(palette)))]
+            if mid is None:
+                mid = b.add_mesh(brick, mat, transform=t)
+            else:
+                b.add_mesh_instance(mid, transform=t, material=mat)
+    b.add_plane([0, 0, 0], [0, 1, 0], diffuse_material([0.7, 0.7, 0.7]))
+    b.add_sphere([6, 14, -12], 3.0, light_material([1, 1, 1], 7.0))
+    b.set_environment(color=[0.25, 0.28, 0.33])
+    scene = b.build(leaf_size=4)
+    cam = Camera.look_at([2, 5.5, -16], [0, 3, 0], [0, 1, 0], 40.0)
+    return scene, cam, RenderConfig(width=width, height=height, spp=12), \
+        IntegratorConfig(max_bounces=3)
+
+
+@example("cylinder_field")
+def cylinder_field(width=512, height=288, n=24):
+    """Row of overlapping transformed cylinders (reference cylinder,
+    Example.cs:997-1026)."""
+    b = SceneBuilder()
+    for i in range(n):
+        hue = i / n
+        col = np.array([0.5 + 0.5 * math.cos(6.28 * hue),
+                        0.5 + 0.5 * math.cos(6.28 * hue + 2.1),
+                        0.5 + 0.5 * math.cos(6.28 * hue + 4.2)])
+        t = transform.translate([i * 0.6 - n * 0.3, 0.0, 0.0]) @ \
+            transform.rotate([1, 0, 0], math.radians(90)) @ \
+            transform.rotate([0, 0, 1], math.radians(8.0 * i))
+        b.add_cylinder(0.5, -0.6, 0.6, glossy_material(col * 0.8, 1.4,
+                                                       math.radians(15)),
+                       transform=t)
+    b.add_plane([0, -0.8, 0], [0, 1, 0], diffuse_material([0.6, 0.6, 0.6]))
+    b.add_sphere([0, 7, -5], 2.0, light_material([1, 1, 1], 7.0))
+    b.set_environment(color=[0.18, 0.2, 0.24])
+    scene = b.build()
+    cam = Camera.look_at([0, 2.4, -7], [0, 0, 0], [0, 1, 0], 42.0)
+    return scene, cam, RenderConfig(width=width, height=height, spp=16), \
+        IntegratorConfig(max_bounces=3)
+
+
+@example("hits")
+def hits(width=512, height=384, n=60):
+    """Scatter field of squashed-sphere instances (reference hits,
+    Example.cs catalog) — random ellipsoids on a plane, TLAS stress."""
+    rng = np.random.default_rng(9)
+    b = SceneBuilder()
+    for i in range(n):
+        p = rng.uniform(-6, 6, 2)
+        s = rng.uniform(0.2, 0.7)
+        sq = rng.uniform(0.3, 1.0, 3)
+        col = rng.uniform(0.2, 0.9, 3)
+        t = transform.translate([p[0], s * sq[1], p[1]]) @ \
+            transform.scale(s * sq)
+        b.add_sphere([0, 0, 0], 1.0, diffuse_material(col), transform=t)
+    b.add_plane([0, 0, 0], [0, 1, 0], diffuse_material([0.75, 0.75, 0.75]))
+    b.add_sphere([5, 9, -6], 2.2, light_material([1, 1, 1], 8.0))
+    b.set_environment(color=[0.15, 0.17, 0.2])
+    scene = b.build()
+    cam = Camera.look_at([0, 4.5, -11], [0, 0, 0], [0, 1, 0], 45.0)
+    return scene, cam, RenderConfig(width=width, height=height, spp=16), \
+        IntegratorConfig(max_bounces=3)
+
+
 @example("ellipsoid")
 def ellipsoid(width=512, height=384):
     """Non-uniformly scaled sphere instancing (reference ellipsoid,

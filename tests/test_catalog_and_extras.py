@@ -16,7 +16,8 @@ from ptsharp_tpu.renderer import Renderer, RenderConfig
 # scenes cheap enough for per-commit CI on 2 CPUs; the full catalog smoke
 # runs in scripts/render_catalog.py
 SMOKE = ["simple_sphere", "cornell", "mesh", "ellipsoid", "heightfield",
-         "mol", "veach"]
+         "mol", "veach",
+         "teapot", "suzanne", "gopher", "toybrick", "cylinder_field", "hits"]
 
 
 @pytest.mark.parametrize("name", SMOKE)
