@@ -121,7 +121,8 @@ def main():
     results = []
     for metric, fn in [
         ("Mrays_per_s_per_chip_cornell_1080p", lambda: run_scene("cornell")),
-        ("Mrays_per_s_per_chip_bunny82k_1080p", lambda: run_scene("bunny")),
+        ("Mrays_per_s_per_chip_bunny82k_1080p",
+         lambda: run_scene("bunny", max_measured_chunks=6)),
         ("Mrays_per_s_fwd_bwd_cornell", run_grad),
     ]:
         try:

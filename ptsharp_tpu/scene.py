@@ -412,7 +412,12 @@ class SceneBuilder:
     # -- freeze ------------------------------------------------------------
 
     def build(self, leaf_size: int = 8, use_tlas: bool | None = None,
-              intersector: str = "cluster") -> SceneData:
+              intersector: str = "walk") -> SceneData:
+        """intersector: mesh triangle path. "walk" (packed skip-link BVH,
+        fastest measured on TPU for both coherent and incoherent rays,
+        scripts/exp_traverse3.py) or "cluster" (fixed-depth cull — loses to
+        the walk on this hardware but is divergence-insensitive by
+        construction; kept as a measured alternative)."""
         f32 = jnp.float32
         i32 = jnp.int32
 
