@@ -49,8 +49,10 @@ def _kernel(rows_ref, leaf_ref, org_ref, dir_ref, tmax_ref,
     def body(s):
         j, it, bt, bs, bu, bv = s
         nrow = rows_ref[j]  # (8,) scalar-indexed node row
-        bits1 = jax.lax.bitcast_convert_type(nrow[6], jnp.int32)
-        bits2 = jax.lax.bitcast_convert_type(nrow[7], jnp.int32)
+        # Mosaic only bitcasts vectors: convert the whole row, then index
+        bits = jax.lax.bitcast_convert_type(nrow, jnp.int32)
+        bits1 = bits[6]
+        bits2 = bits[7]
         skip = jax.lax.shift_right_logical(bits2, 12)
         cnt = bits2 & 0xFF
 
@@ -75,50 +77,41 @@ def _kernel(rows_ref, leaf_ref, org_ref, dir_ref, tmax_ref,
         def do_leaf(args):
             bt, bs, bu, bv = args
             blk = leaf_ref[bits1 // leaf_size]  # (leaf*9,)
-            m = blk.reshape(leaf_size, 9)
-            v0x, v0y, v0z = m[:, 0:1], m[:, 1:2], m[:, 2:3]  # (L, 1)
-            e1x, e1y, e1z = m[:, 3:4], m[:, 4:5], m[:, 5:6]
-            e2x, e2y, e2z = m[:, 6:7], m[:, 7:8], m[:, 8:9]
-            # h = d x e2  -> (L, T)
-            hx = dy[None, :] * e2z - dz[None, :] * e2y
-            hy = dz[None, :] * e2x - dx[None, :] * e2z
-            hz = dx[None, :] * e2y - dy[None, :] * e2x
-            det = e1x * hx + e1y * hy + e1z * hz
-            inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
-            sx = ox[None, :] - v0x
-            sy = oy[None, :] - v0y
-            sz = oz[None, :] - v0z
-            uu = (sx * hx + sy * hy + sz * hz) * inv_det
-            qx = sy * e1z - sz * e1y
-            qy = sz * e1x - sx * e1z
-            qz = sx * e1y - sy * e1x
-            vv = (dx[None, :] * qx + dy[None, :] * qy + dz[None, :] * qz) \
-                * inv_det
-            tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-            ok = (
-                box_hit[None, :]
-                & (jnp.abs(det) > 1e-12)
-                & (uu >= 0.0) & (uu <= 1.0)
-                & (vv >= 0.0) & (uu + vv <= 1.0)
-                & (tt > 1e-4)
-                & (tt < bt[None, :])
-            )
-            t_ok = jnp.where(ok, tt, vec.INF)
-            lane_best = jnp.argmin(t_ok, axis=0)  # (T,)
-            t_lane = jnp.min(t_ok, axis=0)
-            lane_ids = jax.lax.broadcasted_iota(
-                jnp.int32, (leaf_size, t_ok.shape[1]), 0
-            )
-            selm = lane_ids == lane_best[None, :]
-            u_lane = jnp.sum(jnp.where(selm, uu, 0.0), axis=0)
-            v_lane = jnp.sum(jnp.where(selm, vv, 0.0), axis=0)
-            got = t_lane < bt
-            return (
-                jnp.where(got, t_lane, bt),
-                jnp.where(got, bits1 + lane_best, bs),
-                jnp.where(got, u_lane, bu),
-                jnp.where(got, v_lane, bv),
-            )
+            # static unroll over slots with scalar lane-extracts (Mosaic
+            # supports neither cross-lane reshapes nor vector gathers);
+            # each slot is a scalar-coefficient Möller–Trumbore over the
+            # (T,) ray vectors, sequentially tightening bt
+            for l in range(leaf_size):
+                v0x, v0y, v0z = blk[l * 9 + 0], blk[l * 9 + 1], blk[l * 9 + 2]
+                e1x, e1y, e1z = blk[l * 9 + 3], blk[l * 9 + 4], blk[l * 9 + 5]
+                e2x, e2y, e2z = blk[l * 9 + 6], blk[l * 9 + 7], blk[l * 9 + 8]
+                hx = dy * e2z - dz * e2y
+                hy = dz * e2x - dx * e2z
+                hz = dx * e2y - dy * e2x
+                det = e1x * hx + e1y * hy + e1z * hz
+                inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+                sx = ox - v0x
+                sy = oy - v0y
+                sz = oz - v0z
+                uu = (sx * hx + sy * hy + sz * hz) * inv_det
+                qx = sy * e1z - sz * e1y
+                qy = sz * e1x - sx * e1z
+                qz = sx * e1y - sy * e1x
+                vv = (dx * qx + dy * qy + dz * qz) * inv_det
+                tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                got = (
+                    box_hit
+                    & (jnp.abs(det) > 1e-12)
+                    & (uu >= 0.0) & (uu <= 1.0)
+                    & (vv >= 0.0) & (uu + vv <= 1.0)
+                    & (tt > 1e-4)
+                    & (tt < bt)
+                )
+                bt = jnp.where(got, tt, bt)
+                bs = jnp.where(got, bits1 + l, bs)
+                bu = jnp.where(got, uu, bu)
+                bv = jnp.where(got, vv, bv)
+            return bt, bs, bu, bv
 
         bt, bs, bu, bv = jax.lax.cond(
             jnp.logical_and(any_hit, is_leaf), do_leaf,
