@@ -610,7 +610,11 @@ def _trace_span(scene, cfg: IntegratorConfig, state, rays, krest,
     return state, rays
 
 
-@functools.partial(jax.jit, static_argnames=("cap",))
+_trace_span_jit = functools.partial(jax.jit, static_argnames=("cfg", "d0", "d1"))(
+    _trace_span
+)
+
+
 def _compact_state(state: RayState, cap: int):
     """Sort survivors to a dense prefix and take the first `cap` lanes.
     Returns (small_state_with_zero_radiance, src_indices)."""
@@ -627,17 +631,17 @@ def _compact_state(state: RayState, cap: int):
     return small, src
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "d0", "d1"))
-def _trace_tail(scene, cfg: IntegratorConfig, small: RayState, krest,
-                d0: int, d1: int):
+@functools.partial(jax.jit, static_argnames=("cfg", "cap", "d0", "d1"))
+def _compact_and_finish(scene, cfg: IntegratorConfig, state: RayState,
+                        krest, cap: int, d0: int, d1: int):
+    """One post-sync program: on-device compaction, tail depths at the
+    reduced width, scatter-add back (a single dispatch — the ~24 ms/program
+    tunnel overhead made separate compact/tail/scatter programs a loss)."""
+    small, src = _compact_state(state, cap)
     rays = jnp.int32(0)
     small, rays = _trace_span(scene, cfg, small, rays, krest, d0, d1)
-    return small.radiance, rays
-
-
-@jax.jit
-def _scatter_add(full, src, delta):
-    return full.at[src].add(delta)
+    radiance = state.radiance.at[src].add(small.radiance)
+    return radiance, rays
 
 
 def trace_compacted(
@@ -671,12 +675,11 @@ def trace_compacted(
     n_alive = int(jnp.sum(state.alive))  # the one host sync
     cap = max(min_cap, 1 << max(0, (n_alive - 1)).bit_length())
     if cap >= r:  # nothing culled: finish at full width
-        state, rays = _trace_span(scene, cfg, state, rays, krest,
-                                  d_stop, cfg.max_bounces + 1)
+        state, rays = _trace_span_jit(scene, cfg, state, rays, krest,
+                                      d_stop, cfg.max_bounces + 1)
         return TraceResult(state.radiance, alb, nrm, rays)
 
-    small, src = _compact_state(state, cap)
-    delta, tail_rays = _trace_tail(scene, cfg, small, krest, d_stop,
-                                   cfg.max_bounces + 1)
-    radiance = _scatter_add(state.radiance, src, delta)
+    radiance, tail_rays = _compact_and_finish(
+        scene, cfg, state, krest, cap, d_stop, cfg.max_bounces + 1
+    )
     return TraceResult(radiance, alb, nrm, rays + tail_rays)

@@ -1,12 +1,20 @@
 """Scene-wide closest-hit over ray wavefronts.
 
 The replacement for the reference's Scene.Intersect -> k-d tree descent ->
-virtual IShape.Intersect chain (Scene.cs:75-79, Tree.cs:67-128). Per
-primitive *type* the whole batch is intersected in one vectorized pass
-(brute-force SoA tables for analytic primitives, flattened-BVH traversal for
-triangles, while-loop marches for SDF/volume), then a min-t select across
-types yields the winner. Python-level `if` on table sizes specializes each
-scene's kernel at trace time — absent types cost nothing.
+virtual IShape.Intersect chain (Scene.cs:75-79, Tree.cs:67-128). Two static
+dispatch tiers, chosen per scene at build time:
+
+  * small scenes: per primitive *type* the whole batch is intersected in
+    one vectorized pass (brute-force SoA tables for analytic primitives,
+    packed skip-link BVH walk or cluster-cull intersector for triangles,
+    while-loop marches for SDF/volume), then a min-t select across types;
+  * instancing-heavy / large scenes (`scene.use_tlas`): one unified
+    traversal (`traverse_scene`) over a TLAS whose typed singleton leaves
+    cover analytic primitives and re-enter per-mesh BLASes for instances
+    (Tree.cs:22-42 + TransformedShape.cs:43-72 semantics).
+
+Python-level `if` on table sizes specializes each scene's kernel at trace
+time — absent types cost nothing.
 
 Hit record semantics mirror Hit.Info (Hit.cs:26-55): shading normal flipped
 toward the ray, `inside` flag set on flip except for SDF/volume shapes.

@@ -10,6 +10,14 @@ visits the union of nodes its rays need, so the kernel wins when tiles are
 coherent (primary/shadow rays, or bounce rays after Morton sorting) and
 loses when a tile's rays diverge; the dispatcher in intersect.py keeps the
 gather-based walk as the general path. Full measurements: BASELINE.md.
+
+Status on this image's remote-compile tunnel: the kernel compiles and
+matches the packed walk bit-for-bit on the real chip for small scenes
+(~1-2k triangles); at 82k-triangle scale the tunnel's AOT compile helper
+exits 1 without a Mosaic diagnostic (tables total 4.7 MB — within VMEM —
+so this is an infra ceiling, not a VMEM overflow we can see). Interpret-
+mode parity tests cover the kernel logic; the XLA walk remains the default
+dispatch until the compiler path handles full-size tables.
 """
 
 from __future__ import annotations
