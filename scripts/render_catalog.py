@@ -38,8 +38,9 @@ def main(outdir="catalog_out", scale=0.25):
             scene, cam, rcfg, icfg = examples.build(name)
             w = max(32, int(rcfg.width * scale))
             h = max(24, int(rcfg.height * scale))
-            r = Renderer(scene, cam,
-                         RenderConfig(width=w, height=h, spp=min(rcfg.spp, 8)),
+            # budget ~1M camera rays per scene so heavy meshes stay quick
+            spp = max(1, min(rcfg.spp, 8, (1 << 20) // (w * h)))
+            r = Renderer(scene, cam, RenderConfig(width=w, height=h, spp=spp),
                          icfg)
             film = r.render(key=jax.random.PRNGKey(0))
             img = np.asarray(film.color_srgb())
