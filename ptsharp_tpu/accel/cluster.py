@@ -34,6 +34,10 @@ def _cull_and_intersect(c_bmin, c_bmax, c_rows, tris_per_cluster,
     Returns (t, slot, u, v, unresolved)."""
     rc = org.shape[0]
     n_c = c_bmin.shape[0]
+    # small scenes can have fewer clusters than requested candidates:
+    # top_k(k) requires k <= n; the overflow logic below already handles
+    # n_hit <= k_cand, so clamping only shrinks the brute-force loop
+    k_cand = min(k_cand, n_c)
     inv_d = 1.0 / jnp.where(
         jnp.abs(dirn) < 1e-30, jnp.where(dirn < 0, -1e-30, 1e-30), dirn
     )

@@ -159,10 +159,14 @@ def _bunny_mesh(subdivisions: int = 6, seed: int = 11) -> TriMesh:
     v = m.v.reshape(-1, 3).astype(np.float64)
     d = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
     x, y, z = d[:, 0], d[:, 1], d[:, 2]
+    # seed-derived phase offsets give distinct base geometry per caller
+    # (dragon() passes a different seed than bunny())
+    p1, p2, p3 = (np.random.default_rng(seed).uniform(0, 2 * np.pi, 3)
+                  if seed != 11 else (0.0, 0.0, 0.0))
     disp = (
-        0.16 * np.sin(5.1 * x + 1.3) * np.sin(4.3 * y)
-        + 0.11 * np.sin(7.7 * z + 0.5) * np.cos(6.1 * x)
-        + 0.07 * np.sin(11.0 * y + 2.1) * np.sin(9.0 * z)
+        0.16 * np.sin(5.1 * x + 1.3 + p1) * np.sin(4.3 * y + p2)
+        + 0.11 * np.sin(7.7 * z + 0.5 + p2) * np.cos(6.1 * x + p3)
+        + 0.07 * np.sin(11.0 * y + 2.1 + p3) * np.sin(9.0 * z + p1)
         + 0.23 * np.exp(-18.0 * ((x - 0.25) ** 2 + (y - 0.85) ** 2 + z**2))
         + 0.23 * np.exp(-18.0 * ((x + 0.25) ** 2 + (y - 0.85) ** 2 + z**2))
     )

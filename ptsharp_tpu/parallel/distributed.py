@@ -25,8 +25,12 @@ def initialize(coordinator_address: str | None = None,
     explicitly for CPU/GPU clusters. Single-process runs may skip calling
     this entirely — every helper below works either way.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    # NOTE: do NOT probe jax.process_count() here — it instantiates the
+    # local backend (returning 1 when uninitialized), after which the real
+    # jax.distributed.initialize raises; the TPU-pod auto-detect path would
+    # then silently degrade to per-host single-process runs.
+    if _is_initialized():
+        return
     kwargs = {}
     if coordinator_address is not None:
         kwargs["coordinator_address"] = coordinator_address
@@ -37,11 +41,23 @@ def initialize(coordinator_address: str | None = None,
     try:
         jax.distributed.initialize(**kwargs)
     except (ValueError, RuntimeError) as e:
-        if num_processes in (None, 1):
-            # single-process smoke path: the runtime works without a
-            # coordinator; multi-host args were not provided
+        if num_processes in (None, 1) and coordinator_address is None:
+            # single-process smoke path: no multi-host args were provided
+            # and no coordinator is reachable — the local runtime works
             return
         raise e
+
+
+def _is_initialized() -> bool:
+    """True iff jax.distributed.initialize has already succeeded in this
+    process (checked on the client handle, not via process_count, which
+    spins up the local backend as a side effect)."""
+    try:
+        from jax._src import distributed as _dist
+
+        return _dist.global_state.client is not None
+    except Exception:  # pragma: no cover - private-API drift fallback
+        return False
 
 
 def global_mesh(dp: int | None = None, sp: int = 1,

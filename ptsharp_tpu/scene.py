@@ -525,7 +525,10 @@ class SceneBuilder:
             node_skip.append(flat.skip + node_offset)
             mesh_node_range.append((node_offset, node_offset + flat.bmin.shape[0]))
             mesh_root_bounds.append((flat.bmin[0].copy(), flat.bmax[0].copy()))
-            slot_offset += nl * leaf_size
+            # advance by the PADDED leaf count: leaf_rows/tri arrays carry
+            # nlp = nl + lpad leaves for this mesh, so the next mesh's slot
+            # indices must start after the padding too
+            slot_offset += nlp * leaf_size
             node_offset += flat.bmin.shape[0]
 
         if self._meshes:
