@@ -149,12 +149,15 @@ def traverse(
 
 
 def unpack_bits(rows):
-    """Unpack the packed node row metadata: (first, skip, kind, count)."""
+    """Unpack the packed node row metadata: (first, skip, kind, count).
+    Layout (scene.py packer): slot 6 = first, slot 7 = kind<<8|count,
+    slot 8 = skip — skip owns a full int32 so node counts are uncapped
+    (the reference renders the 871k-tri dragon, Example.cs:977)."""
     first = jax.lax.bitcast_convert_type(rows[..., 6], jnp.int32)
-    bits2 = jax.lax.bitcast_convert_type(rows[..., 7], jnp.int32)
-    skip = jax.lax.shift_right_logical(bits2, 12)
-    kind = jax.lax.shift_right_logical(bits2, 8) & 0xF
-    count = bits2 & 0xFF
+    meta = jax.lax.bitcast_convert_type(rows[..., 7], jnp.int32)
+    skip = jax.lax.bitcast_convert_type(rows[..., 8], jnp.int32)
+    kind = jax.lax.shift_right_logical(meta, 8) & 0xF
+    count = meta & 0xFF
     return first, skip, kind, count
 
 
@@ -264,6 +267,144 @@ def traverse_packed(rows, leaf_rows, org, dirn, t_max, base, end,
     idx, bt, bs, bu, bv, _ = jax.lax.while_loop(cond, body, init)
     bt = jnp.where(bs >= 0, bt, vec.INF)
     return bt, bs, bu, bv
+
+
+def unpack_wide_bits(rows, k: int):
+    """Unpack wide-row metadata (accel/wide.py pack_rows layout):
+    (first, kind, count, skip, child_idx (..., K))."""
+    first = jax.lax.bitcast_convert_type(rows[..., 6], jnp.int32)
+    meta = jax.lax.bitcast_convert_type(rows[..., 7], jnp.int32)
+    skip = jax.lax.bitcast_convert_type(rows[..., 8], jnp.int32)
+    kind = jax.lax.shift_right_logical(meta, 8) & 0xF
+    count = meta & 0xFF
+    cidx = jax.lax.bitcast_convert_type(rows[..., 9 + 6 * k:9 + 7 * k],
+                                        jnp.int32)
+    return first, kind, count, skip, cidx
+
+
+def wide_child_step(nrow, k, org, inv_d, bt, cidx, skip):
+    """Shared K-way descent arithmetic: slab-test the K child boxes held in
+    an arrived node's row and return (target, has_child) — the preorder
+    index of the FIRST hit child (min index = preorder order, so the skip
+    chain provably reaches every later hit child) or `skip` when none hit.
+    Absent children carry a far-sentinel box AND index 0 (< any real child
+    index), so they can never be selected."""
+    r = org.shape[0]
+    cb = nrow[:, 9:9 + 6 * k].reshape(r, k, 6)
+    clo = (cb[:, :, 0:3] - org[:, None, :]) * inv_d[:, None, :]
+    chi = (cb[:, :, 3:6] - org[:, None, :]) * inv_d[:, None, :]
+    ctmin = jnp.max(jnp.minimum(clo, chi), axis=-1)
+    ctmax = jnp.min(jnp.maximum(clo, chi), axis=-1)
+    chit = (
+        (ctmax >= jnp.maximum(ctmin, 0.0))
+        & (ctmin < bt[:, None])
+        & (cidx > 0)
+    )
+    big = jnp.int32(2**31 - 1)
+    target = jnp.min(jnp.where(chit, cidx, big), axis=-1)
+    has_child = target < big
+    return jnp.where(has_child, target, skip), has_child
+
+
+def traverse_wide(rows, leaf_rows, org, dirn, t_max, base, end,
+                  leaf_size: int, k: int, max_iters: int = 65536):
+    """K-wide skip walk (accel/wide.py): per step ONE wide-row gather.
+    The row carries the node's own box, leaf payload, skip link, and its K
+    children's boxes + preorder indices; internal steps jump straight to
+    the first hit child, so rows of missed children are never gathered —
+    the gather count (the measured traversal bound, scripts/exp_gather.py)
+    drops to arrivals ~= hit children only, over ~logK levels.
+
+    Returns (t, slot, u, v); slot indexes the slot-ordered triangle
+    arrays, -1 on miss. Replaces the reference k-d descent
+    (Tree.cs:67-128) like traverse_packed, with fewer row gathers.
+    """
+    org = jax.lax.stop_gradient(org)
+    dirn = jax.lax.stop_gradient(dirn)
+    t_max = jax.lax.stop_gradient(t_max)
+    r = org.shape[0]
+    inv_d = 1.0 / jnp.where(
+        jnp.abs(dirn) < 1e-30, jnp.where(dirn < 0, -1e-30, 1e-30), dirn
+    )
+
+    def cond(state):
+        idx, _bt, _bs, _bu, _bv, it = state
+        return jnp.logical_and(jnp.any(idx < end), it < max_iters)
+
+    def body(state):
+        idx, bt, bs, bu, bv, it = state
+        active = idx < end
+        safe = jnp.where(active, idx, base)
+        nrow = rows[safe]  # (R, W) — the only gather this step
+        first, _kind, cnt, skip, cidx = unpack_wide_bits(nrow, k)
+        lo = (nrow[:, 0:3] - org) * inv_d
+        hi = (nrow[:, 3:6] - org) * inv_d
+        tmin = jnp.max(jnp.minimum(lo, hi), axis=-1)
+        tmax = jnp.min(jnp.maximum(lo, hi), axis=-1)
+        box_hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < bt)
+
+        is_leaf = cnt > 0
+        do_leaf = active & box_hit & is_leaf
+        t_lane, lane_best, u_lane, v_lane = leaf_intersect(
+            leaf_rows, jnp.where(do_leaf, first // leaf_size, 0), org, dirn,
+            bt, leaf_size, do_leaf,
+        )
+        got = t_lane < bt
+        bt = jnp.where(got, t_lane, bt)
+        bs = jnp.where(got, first + lane_best, bs)
+        bu = jnp.where(got, u_lane, bu)
+        bv = jnp.where(got, v_lane, bv)
+
+        target, _has = wide_child_step(nrow, k, org, inv_d, bt, cidx, skip)
+        descend = box_hit & ~is_leaf
+        nxt = jnp.where(descend, target, skip)
+        idx = jnp.where(active, nxt, idx)
+        return idx, bt, bs, bu, bv, it + 1
+
+    init = (
+        jnp.full((r,), base, jnp.int32),
+        jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,)).astype(jnp.float32),
+        jnp.full((r,), -1, jnp.int32),
+        jnp.zeros((r,), jnp.float32),
+        jnp.zeros((r,), jnp.float32),
+        jnp.int32(0),
+    )
+    idx, bt, bs, bu, bv, _ = jax.lax.while_loop(cond, body, init)
+    bt = jnp.where(bs >= 0, bt, vec.INF)
+    return bt, bs, bu, bv
+
+
+def traverse_wide_chunked(rows, leaf_rows, org, dirn, t_max, base, end,
+                          leaf_size: int, k: int, chunk: int = 1 << 12):
+    # chunk default measured on the tunnel chip: 4096 beats 16384 (1.59 vs
+    # 1.25 Mrays/s coherent bunny) — smaller lockstep groups exit earlier
+    # and the per-row gather cost is width/batch independent (exp_wide2)
+    """Chunked wrapper (see traverse_packed_chunked): each chunk's
+    while_loop exits at its own max traversal depth."""
+    r = org.shape[0]
+    if r <= chunk:
+        return traverse_wide(rows, leaf_rows, org, dirn, t_max, base, end,
+                             leaf_size, k)
+    tm = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
+    pad = (-r) % chunk
+    if pad:
+        org = jnp.concatenate([org, jnp.zeros((pad, 3), org.dtype)])
+        dirn = jnp.concatenate([dirn, jnp.ones((pad, 3), dirn.dtype)])
+        tm = jnp.concatenate([tm, jnp.full((pad,), -vec.INF, jnp.float32)])
+
+    def one(args):
+        o, d, t = args
+        return traverse_wide(rows, leaf_rows, o, d, t, base, end,
+                             leaf_size, k)
+
+    n = (r + pad) // chunk
+    bt, bs, bu, bv = jax.lax.map(
+        one,
+        (org.reshape(n, chunk, 3), dirn.reshape(n, chunk, 3),
+         tm.reshape(n, chunk)),
+    )
+    return bt.reshape(-1)[:r], bs.reshape(-1)[:r], bu.reshape(-1)[:r], \
+        bv.reshape(-1)[:r]
 
 
 def traverse_packed_chunked(rows, leaf_rows, org, dirn, t_max, base, end,

@@ -147,7 +147,8 @@ def _xform_normal(aff_inv, n):
     return vec.normalize(jnp.einsum("...ji,...j->...i", aff_inv[..., :3], n))
 
 
-def traverse_scene(scene: SceneData, org_w, dir_w, t_max, max_iters: int = 65536):
+def traverse_scene(scene: SceneData, org_w, dir_w, t_max,
+                   max_iters: int = 65536, wide: bool | None = None):
     """Unified single-pass traversal of the whole scene accelerator: a TLAS
     over analytic primitives + mesh instances whose instance leaves re-enter
     the per-mesh BLAS (the flattened replacement for the reference's
@@ -168,7 +169,16 @@ def traverse_scene(scene: SceneData, org_w, dir_w, t_max, max_iters: int = 65536
     dir_w = jax.lax.stop_gradient(dir_w)
     t_max = jax.lax.stop_gradient(t_max)
     r = org_w.shape[0]
-    tlas_end = scene.tlas_end
+    # wide (default): K-wide node rows — one gather per arrived node
+    # decides a K-way step (see accel/wide.py); "walk" falls back to the
+    # binary packed rows.
+    if wide is None:
+        wide = scene.intersector != "walk"
+    kw = scene.wide_k
+    rows = scene.w_rows if wide else scene.u_rows
+    inst_base_t = scene.w_inst_base if wide else scene.u_inst_base
+    inst_end_t = scene.w_inst_end if wide else scene.u_inst_end
+    tlas_end = scene.w_tlas_end if wide else scene.tlas_end
     assert tlas_end > 0, "traverse_scene requires a built TLAS"
     leaf = scene.max_leaf
     n_inst = scene.inst_inv.shape[0]
@@ -187,8 +197,11 @@ def traverse_scene(scene: SceneData, org_w, dir_w, t_max, max_iters: int = 65536
         idx, ret, inst, bend, o_l, d_l, bt, bk, bi, binst, bu, bv, it = s
         active = (inst >= 0) | (idx < tlas_end)
         safe = jnp.where(active, idx, 0)
-        nrow = scene.u_rows[safe]  # (R, 8) — one gather per node
-        first, skp, k, cnt = traverse.unpack_bits(nrow)
+        nrow = rows[safe]  # (R, W) — one gather per node
+        if wide:
+            first, k, cnt, skp, cidx = traverse.unpack_wide_bits(nrow, kw)
+        else:
+            first, skp, k, cnt = traverse.unpack_bits(nrow)
 
         inv_d = 1.0 / jnp.where(
             jnp.abs(d_l) < 1e-30, jnp.where(d_l < 0, -1e-30, 1e-30), d_l
@@ -272,12 +285,18 @@ def traverse_scene(scene: SceneData, org_w, dir_w, t_max, max_iters: int = 65536
 
         # --- advance cursor / enter-exit BLAS ------------------------------
         descend = box_hit & (k == PT_NONE)
-        nxt = jnp.where(descend, idx + 1, skp)
+        if wide:
+            target, _ = traverse.wide_child_step(
+                nrow, kw, o_l, inv_d, bt, cidx, skp
+            )
+            nxt = jnp.where(descend, target, skp)
+        else:
+            nxt = jnp.where(descend, idx + 1, skp)
         if n_inst > 0:
             enter = box_hit & (k == PT_INSTANCE)
             ii = jnp.clip(first, 0, n_inst - 1)
-            base = scene.u_inst_base[ii]
-            iend = scene.u_inst_end[ii]
+            base = inst_base_t[ii]
+            iend = inst_end_t[ii]
             invm = scene.inst_inv[ii]
             o_i = _xform_point(invm, org_w)
             d_i = _xform_dir(invm, dir_w)
@@ -424,10 +443,16 @@ def closest_hit(scene: SceneData, org, dirn, t_max=None) -> Hit:
                      scene.max_leaf),
                     o, d, best_t,
                 )
-            else:
+            elif scene.intersector == "walk":
                 t, slot, u, v = traverse.traverse_packed_chunked(
                     scene.u_rows, scene.leaf_rows, o, d, best_t,
                     scene.u_inst_base[i], scene.u_inst_end[i], scene.max_leaf,
+                )
+            else:  # "wide" — K-wide node rows, fewest gathers per ray
+                t, slot, u, v = traverse.traverse_wide_chunked(
+                    scene.w_rows, scene.leaf_rows, o, d, best_t,
+                    scene.w_inst_base[i], scene.w_inst_end[i],
+                    scene.max_leaf, scene.wide_k,
                 )
             take(t, PT_TRIANGLE, slot, inst=jnp.int32(i), u=u, v=v)
 

@@ -56,13 +56,12 @@ def _kernel(rows_ref, leaf_ref, org_ref, dir_ref, tmax_ref,
 
     def body(s):
         j, it, bt, bs, bu, bv = s
-        nrow = rows_ref[j]  # (8,) scalar-indexed node row
+        nrow = rows_ref[j]  # (10,) scalar-indexed node row
         # Mosaic only bitcasts vectors: convert the whole row, then index
         bits = jax.lax.bitcast_convert_type(nrow, jnp.int32)
-        bits1 = bits[6]
-        bits2 = bits[7]
-        skip = jax.lax.shift_right_logical(bits2, 12)
-        cnt = bits2 & 0xFF
+        bits1 = bits[6]       # first
+        cnt = bits[7] & 0xFF  # kind<<8 | count
+        skip = bits[8]
 
         lox = (nrow[0] - ox) * ix
         hix = (nrow[3] - ox) * ix

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ptsharp_tpu.accel import bvh as bvh_mod
+from ptsharp_tpu.accel import wide as wide_mod
 from ptsharp_tpu.geometry.mesh import TriMesh
 from ptsharp_tpu.materials import Material, MaterialTable
 from ptsharp_tpu.textures import TextureAtlas
@@ -56,6 +57,7 @@ _DATA_FIELDS = [
     "inst_inv", "inst_world", "inst_node_base", "inst_node_end", "inst_mat",
     "u_bmin", "u_bmax", "u_first", "u_count", "u_kind", "u_skip",
     "u_rows", "leaf_rows",
+    "w_rows", "w_inst_base", "w_inst_end",
     "cluster_bmin", "cluster_bmax", "cluster_rows",
     "inst_cluster_base", "inst_cluster_end",
     "u_inst_base", "u_inst_end",
@@ -69,7 +71,7 @@ _DATA_FIELDS = [
 _META_FIELDS = [
     "sdf_objects", "volumes", "functions", "sphere_xform", "cube_xform",
     "cyl_xform", "max_leaf", "env_texture", "has_surface_maps",
-    "tlas_end", "use_tlas", "intersector",
+    "tlas_end", "use_tlas", "intersector", "wide_k", "w_tlas_end",
 ]
 
 
@@ -144,6 +146,14 @@ class SceneData:
     # (n_leaves, leaf*9) = one gather per leaf visit [v0, e1, e2] per slot
     u_rows: jnp.ndarray
     leaf_rows: jnp.ndarray
+    # K-wide node rows (accel/wide.py): the production traversal table.
+    # One row = own box + K child boxes + K child preorder indices, so a
+    # gathered row decides a K-way step without touching missed children
+    # (row-gather count is the measured traversal bound on this hardware).
+    # Same unified layout as u_rows: [wide TLAS][wide BLAS per mesh].
+    w_rows: jnp.ndarray        # (Nw, wide.row_width(K))
+    w_inst_base: jnp.ndarray   # per-instance wide BLAS range
+    w_inst_end: jnp.ndarray
     # cluster tables for the fixed-depth cull intersector: GROUP consecutive
     # leaf rows form one cluster; cluster_rows is a reshape of leaf_rows so
     # cluster c's triangles occupy slots [c*G*leaf, (c+1)*G*leaf)
@@ -191,7 +201,9 @@ class SceneData:
     has_surface_maps: bool
     tlas_end: int    # number of TLAS nodes at the head of the u_* arrays
     use_tlas: bool   # static dispatch: unified traversal vs per-type passes
-    intersector: str  # mesh path: "cluster" (fixed-depth cull) or "walk"
+    intersector: str  # mesh path: "wide" (K-wide walk), "walk", "cluster"
+    wide_k: int       # branching factor of the wide node rows
+    w_tlas_end: int   # wide TLAS node count at the head of w_rows
 
     @property
     def num_lights(self) -> int:
@@ -412,12 +424,16 @@ class SceneBuilder:
     # -- freeze ------------------------------------------------------------
 
     def build(self, leaf_size: int = 8, use_tlas: bool | None = None,
-              intersector: str = "walk") -> SceneData:
-        """intersector: mesh triangle path. "walk" (packed skip-link BVH,
-        fastest measured on TPU for both coherent and incoherent rays,
-        scripts/exp_traverse3.py) or "cluster" (fixed-depth cull — loses to
-        the walk on this hardware but is divergence-insensitive by
-        construction; kept as a measured alternative)."""
+              intersector: str = "wide", wide_k: int = 4) -> SceneData:
+        """intersector: mesh triangle path. "wide" (K-wide node rows: one
+        gather per arrived node tests K child boxes — fewest gathers per
+        ray, the measured traversal bound), "walk" (binary packed skip-link
+        walk) or "cluster" (fixed-depth cull — loses to the walks on this
+        hardware but is divergence-insensitive by construction; kept as a
+        measured alternative). Cluster tables are only materialized when
+        the cluster intersector is selected (they duplicate all leaf
+        geometry in HBM)."""
+        assert intersector in ("wide", "walk", "cluster"), intersector
         f32 = jnp.float32
         i32 = jnp.int32
 
@@ -446,6 +462,8 @@ class SceneBuilder:
         mesh_node_range = []  # per mesh: (base, end)
         mesh_cluster_range = []  # per mesh: (cbase, cend)
         mesh_root_bounds = []  # per mesh: (lo, hi) of the BVH root
+        mesh_wide = []  # per mesh: WideBVH (K-wide collapse of the BLAS)
+        build_cluster = intersector == "cluster"
         slot_offset = 0
         node_offset = 0
         cluster_offset = 0
@@ -503,16 +521,27 @@ class SceneBuilder:
             rows = np.concatenate([slot_v[:, 0], e1s, e2s], axis=1)  # (S, 9)
             leaf_rows_l.append(rows.reshape(nlp, leaf_size * 9))
 
-            # cluster AABBs from leaf bounds (padded with inverted boxes)
-            lb_min = np.full((nlp, 3), np.float32(np.inf))
-            lb_max = np.full((nlp, 3), np.float32(-np.inf))
-            lb_min[:nl] = flat.bmin[leaf_ids]
-            lb_max[:nl] = flat.bmax[leaf_ids]
+            # cluster AABBs from leaf bounds (padded with inverted boxes);
+            # only materialized for the cluster intersector — they
+            # duplicate every leaf's geometry in HBM otherwise
             nc = nlp // CLUSTER_GROUP
-            cl_bmin_l.append(lb_min.reshape(nc, CLUSTER_GROUP, 3).min(axis=1))
-            cl_bmax_l.append(lb_max.reshape(nc, CLUSTER_GROUP, 3).max(axis=1))
+            if build_cluster:
+                lb_min = np.full((nlp, 3), np.float32(np.inf))
+                lb_max = np.full((nlp, 3), np.float32(-np.inf))
+                lb_min[:nl] = flat.bmin[leaf_ids]
+                lb_max[:nl] = flat.bmax[leaf_ids]
+                cl_bmin_l.append(lb_min.reshape(nc, CLUSTER_GROUP, 3).min(axis=1))
+                cl_bmax_l.append(lb_max.reshape(nc, CLUSTER_GROUP, 3).max(axis=1))
             mesh_cluster_range.append((cluster_offset, cluster_offset + nc))
             cluster_offset += nc
+
+            # K-wide collapse of this mesh's BLAS (local skip links; the
+            # packer re-bases indices when the unified table is assembled)
+            mesh_wide.append(wide_mod.collapse(
+                flat.bmin, flat.bmax, new_first, flat.count, flat.skip,
+                kind=np.where(flat.count > 0, PT_TRIANGLE, PT_NONE).astype(np.int32),
+                k=wide_k,
+            ))
 
             tri_v.append(slot_v)
             tri_n.append(slot_n)
@@ -537,11 +566,17 @@ class SceneBuilder:
             tuv = np.concatenate(tri_uv)
             tmat = np.concatenate(tri_mat)
             leaf_rows = np.concatenate(leaf_rows_l)
-            cl_bmin = np.concatenate(cl_bmin_l)
-            cl_bmax = np.concatenate(cl_bmax_l)
-            cluster_rows = leaf_rows.reshape(
-                cl_bmin.shape[0], CLUSTER_GROUP * leaf_size * 9
-            )
+            if build_cluster:
+                cl_bmin = np.concatenate(cl_bmin_l)
+                cl_bmax = np.concatenate(cl_bmax_l)
+                cluster_rows = leaf_rows.reshape(
+                    cl_bmin.shape[0], CLUSTER_GROUP * leaf_size * 9
+                )
+            else:
+                cl_bmin = np.zeros((0, 3), np.float32)
+                cl_bmax = np.zeros((0, 3), np.float32)
+                cluster_rows = np.zeros((0, CLUSTER_GROUP * leaf_size * 9),
+                                        np.float32)
             v0, v1, v2 = tv[:, 0], tv[:, 1], tv[:, 2]
             nodes = (
                 np.concatenate(node_bmin),
@@ -620,6 +655,10 @@ class SceneBuilder:
                 [t_kind, np.where(nodes[3] > 0, PT_TRIANGLE, PT_NONE).astype(np.int32)]
             )
             u_skip = np.concatenate([tl.skip, nodes[4] + tlas_n])
+            wide_tlas = wide_mod.collapse(
+                tl.bmin, tl.bmax, t_first, tl.count, tl.skip, kind=t_kind,
+                k=wide_k,
+            )
         else:
             tlas_n = 0
             u_bmin = np.zeros((0, 3), np.float32)
@@ -628,22 +667,46 @@ class SceneBuilder:
             u_count = np.zeros(0, np.int32)
             u_kind = np.zeros(0, np.int32)
             u_skip = np.zeros(0, np.int32)
+            wide_tlas = None
 
-        # packed node rows: ONE row gather fetches a whole node
-        # [bmin(3), bmax(3), bits(first), bits(skip<<12 | kind<<8 | count)]
+        # packed binary node rows: ONE row gather fetches a whole node
+        # [bmin(3), bmax(3), bits(first), bits(kind<<8 | count), bits(skip)]
+        # — skip owns a full int32 slot, so node counts are uncapped
+        # (871k-tri dragon scale, Example.cs:977)
         n_u = u_bmin.shape[0]
-        assert n_u < (1 << 19), "node count exceeds packed skip field"
         assert leaf_size <= 255
-        u_rows = np.zeros((n_u, 8), np.float32)
+        u_rows = np.zeros((n_u, 10), np.float32)
         u_rows[:, 0:3] = u_bmin
         u_rows[:, 3:6] = u_bmax
         u_rows[:, 6] = u_first.astype(np.int32).view(np.float32)
-        bits2 = (
-            (u_skip.astype(np.int64) << 12)
-            | (u_kind.astype(np.int64) << 8)
+        meta_bits = (
+            (u_kind.astype(np.int64) << 8)
             | np.minimum(u_count, 255).astype(np.int64)
         ).astype(np.int32)
-        u_rows[:, 7] = bits2.view(np.float32)
+        u_rows[:, 7] = meta_bits.view(np.float32)
+        u_rows[:, 8] = u_skip.astype(np.int32).view(np.float32)
+
+        # unified K-wide table: [wide TLAS][wide BLAS per mesh]
+        w_parts = []
+        w_off = 0
+        if wide_tlas is not None:
+            w_parts.append(wide_mod.pack_rows(wide_tlas, 0))
+            w_off = wide_tlas.bmin.shape[0]
+        w_tlas_n = w_off
+        w_mesh_range = []
+        for wmesh in mesh_wide:
+            w_parts.append(wide_mod.pack_rows(wmesh, w_off))
+            nwm = wmesh.bmin.shape[0]
+            w_mesh_range.append((w_off, w_off + nwm))
+            w_off += nwm
+        w_rows = (np.concatenate(w_parts) if w_parts
+                  else np.zeros((0, wide_mod.row_width(wide_k)), np.float32))
+        w_inst_b = np.asarray(
+            [w_mesh_range[mi][0] for mi, *_ in self._instances], np.int32
+        ) if self._instances else np.zeros(0, np.int32)
+        w_inst_e = np.asarray(
+            [w_mesh_range[mi][1] for mi, *_ in self._instances], np.int32
+        ) if self._instances else np.zeros(0, np.int32)
 
         # --- per-triangle emissive light geometry ---------------------------
         # For each PT_TRIANGLE light, collect its instance's emissive
@@ -760,6 +823,9 @@ class SceneBuilder:
             u_skip=jnp.asarray(u_skip),
             u_rows=jnp.asarray(u_rows),
             leaf_rows=jnp.asarray(leaf_rows),
+            w_rows=jnp.asarray(w_rows),
+            w_inst_base=jnp.asarray(w_inst_b),
+            w_inst_end=jnp.asarray(w_inst_e),
             cluster_bmin=jnp.asarray(cl_bmin),
             cluster_bmax=jnp.asarray(cl_bmax),
             cluster_rows=jnp.asarray(cluster_rows),
@@ -799,6 +865,8 @@ class SceneBuilder:
             tlas_end=int(tlas_n),
             use_tlas=use_tlas,
             intersector=intersector,
+            wide_k=int(wide_k),
+            w_tlas_end=int(w_tlas_n),
             has_surface_maps=any(
                 m.normal_texture >= 0 or m.bump_texture >= 0
                 for m in self._materials

@@ -198,6 +198,133 @@ def test_native_sah_builder():
     np.testing.assert_allclose(np.asarray(t_bvh), np.asarray(t_ref), rtol=1e-4)
 
 
+def test_multi_mesh_slot_layout_matches_brute():
+    """Regression: with 2+ distinct meshes where an earlier mesh's leaf
+    count is NOT a multiple of CLUSTER_GROUP, the later mesh's node_first
+    slot indices must account for the earlier mesh's leaf padding
+    (scene.py slot_offset advance). A sphere mesh at subdiv 2 has 40
+    leaves (40 % 16 != 0), so the offset cube mesh after it exposes any
+    off-by-padding bug as wrong t values."""
+    from ptsharp_tpu.intersect import closest_hit
+    from ptsharp_tpu.materials import diffuse_material
+    from ptsharp_tpu.scene import PT_TRIANGLE, SceneBuilder
+
+    sph = sphere_mesh([0.0, 0.0, 0.0], 1.0, subdivisions=2)  # 320 tris
+    cube = cube_mesh([-1, -1, -1], [1, 1, 1]).transform(
+        np.array([[1, 0, 0, 8], [0, 1, 0, 0], [0, 0, 1, 0], [0, 0, 0, 1]],
+                 np.float32)
+    )
+    b = SceneBuilder()
+    b.add_mesh(sph, diffuse_material([1, 0, 0]))
+    b.add_mesh(cube, diffuse_material([0, 1, 0]))
+    scene = b.build(leaf_size=8)
+
+    # aimed rays: half at the sphere, half at the cube, plus randoms
+    rng = np.random.default_rng(6)
+    n = 256
+    org = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+    org[:, 2] -= 6.0
+    tgt = rng.uniform(-0.8, 0.8, (n, 3)).astype(np.float32)
+    tgt[n // 2:, 0] += 8.0  # second half aims at the offset cube
+    dirn = tgt - org
+    dirn = (dirn / np.linalg.norm(dirn, axis=1, keepdims=True)).astype(np.float32)
+    org_j, dirn_j = jnp.asarray(org), jnp.asarray(dirn)
+
+    hit = closest_hit(scene, org_j, dirn_j)
+    t_ref = jnp.minimum(_brute(sph, org_j, dirn_j), _brute(cube, org_j, dirn_j))
+    np.testing.assert_allclose(np.asarray(hit.t), np.asarray(t_ref),
+                               rtol=1e-4, atol=1e-4)
+    # the ray aimed dead-center at the cube must report the cube's instance
+    center_ray_t = _ray_t(scene, [8.0, 0.0, -6.0], [0.0, 0.0, 1.0])
+    np.testing.assert_allclose(center_ray_t, 5.0, rtol=1e-4)
+
+
+def test_wide_collapse_wellformed():
+    """K-wide collapse invariants: preorder skip links strictly forward,
+    every binary leaf present exactly once, child indices point at the
+    children's own preorder slots."""
+    from ptsharp_tpu.accel import wide as wide_mod
+
+    rng = np.random.default_rng(9)
+    lo = rng.uniform(-5, 5, (3000, 3)).astype(np.float32)
+    hi = lo + rng.uniform(0.01, 0.5, (3000, 3)).astype(np.float32)
+    flat = bvh_mod.build(lo, hi, leaf_size=8)
+    for k in (2, 4, 8):
+        w = wide_mod.collapse(flat.bmin, flat.bmax, flat.first, flat.count,
+                              flat.skip, k=k)
+        nw = w.bmin.shape[0]
+        assert (w.skip > np.arange(nw)).all()
+        assert w.skip.max() == nw
+        # leaf multiset preserved
+        src_leaves = sorted(flat.first[flat.count > 0].tolist())
+        wide_leaves = sorted(w.first[w.count > 0].tolist())
+        assert src_leaves == wide_leaves
+        # child indices: in range, strictly increasing per node, and the
+        # boxes stored for child j equal the child's own box
+        internal = np.where(w.count == 0)[0]
+        for slot in internal[:: max(1, internal.shape[0] // 50)]:
+            present = np.isfinite(w.child_bmin[slot, :, 0])
+            cidx = w.child_idx[slot][present]
+            assert (np.diff(cidx) > 0).all()
+            np.testing.assert_array_equal(w.child_bmin[slot][present],
+                                          w.bmin[cidx])
+            np.testing.assert_array_equal(w.child_bmax[slot][present],
+                                          w.bmax[cidx])
+
+
+def test_wide_traversal_matches_brute():
+    """traverse_wide over a scene build must agree with brute force for
+    every K (and with the binary packed walk)."""
+    from ptsharp_tpu.accel.traverse import traverse_wide_chunked
+    from ptsharp_tpu.materials import diffuse_material
+    from ptsharp_tpu.scene import SceneBuilder
+
+    mesh = sphere_mesh([0, 0.5, 0], 1.0, subdivisions=3)
+    rng = np.random.default_rng(10)
+    org = jnp.asarray(rng.uniform(-3, 3, (512, 3)).astype(np.float32))
+    d = rng.normal(size=(512, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    t_ref = _brute(mesh, org, d)
+    for k in (2, 4, 8):
+        b = SceneBuilder()
+        b.add_mesh(mesh, diffuse_material([0.5, 0.5, 0.5]))
+        scene = b.build(leaf_size=8, wide_k=k)
+        wb, we = int(scene.w_inst_base[0]), int(scene.w_inst_end[0])
+        t, slot, u, v = jax.jit(
+            lambda o, dd, s=scene, wb=wb, we=we: traverse_wide_chunked(
+                s.w_rows, s.leaf_rows, o, dd, vec.INF, wb, we, 8, k,
+                chunk=128,
+            )
+        )(org, d)
+        np.testing.assert_allclose(np.asarray(t), np.asarray(t_ref),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_cluster_intersector_small_scene():
+    """Regression: a scene with fewer clusters than the candidate count
+    (single small mesh -> 1 cluster < k_cand=12) must degrade gracefully,
+    not crash lax.top_k."""
+    from ptsharp_tpu.intersect import closest_hit
+    from ptsharp_tpu.materials import diffuse_material
+    from ptsharp_tpu.scene import SceneBuilder
+
+    b = SceneBuilder()
+    b.add_mesh(cube_mesh([-1, -1, -1], [1, 1, 1]), diffuse_material([1, 0, 0]))
+    scene = b.build(leaf_size=4, intersector="cluster")
+    hit = closest_hit(scene, jnp.asarray([[0, 0, -5.0]], jnp.float32),
+                      jnp.asarray([[0, 0, 1.0]], jnp.float32))
+    np.testing.assert_allclose(float(hit.t[0]), 4.0, rtol=1e-4)
+
+
+def _ray_t(scene, o, d):
+    from ptsharp_tpu.intersect import closest_hit
+
+    hit = closest_hit(scene, jnp.asarray([o], jnp.float32),
+                      jnp.asarray([d], jnp.float32))
+    return float(hit.t[0])
+
+
 def test_packed_traversal_matches_brute():
     """The packed-row traversal (one node row + one leaf row per step) must
     agree with brute-force over a full scene build (slot re-layout,
