@@ -10,9 +10,13 @@ from __future__ import annotations
 import math
 
 import jax.numpy as jnp
+import numpy as np
 
-BLACK = jnp.zeros(3, jnp.float32)
-WHITE = jnp.ones(3, jnp.float32)
+# numpy, not jnp: module-level device arrays would initialize the XLA
+# backend at import time, which breaks jax.distributed.initialize for
+# multi-host users who import the library before joining the pod
+BLACK = np.zeros(3, np.float32)
+WHITE = np.ones(3, np.float32)
 
 GAMMA = 2.2
 

@@ -61,6 +61,11 @@ class IntegratorConfig:
     russian_roulette: bool = False  # dead-by-default in the reference too
     rr_start_depth: int = 2
     rr_min_prob: float = 0.05
+    # rematerialize each scanned bounce in the backward pass: instead of
+    # saving every bounce's wavefront residuals (hit records, shading
+    # inputs) across the depth scan, the backward re-runs the bounce.
+    # Numerically exact; trades recompute for HBM residual traffic.
+    remat: bool = True
 
 
 class RayState(NamedTuple):
@@ -513,14 +518,24 @@ def trace(
     # One traced body for every depth keeps the XLA graph (and compile
     # time) independent of max_bounces — the scanned-depth design of
     # SURVEY.md §5's "long-context equivalent". RR's depth gate becomes a
-    # traced comparison inside the body.
+    # traced comparison inside the body. With cfg.remat the body is
+    # jax.checkpoint'ed: the backward re-traces each bounce instead of
+    # saving per-bounce wavefront residuals across the whole scan.
+    def scan_step(scn, cur, rays_acc, dk, uu, vv, depth):
+        cur, rays_acc, _, _ = _step(scn, cfg, cur, rays_acc, dk, uu, vv,
+                                    None, depth)
+        return cur, rays_acc
+
+    if cfg.remat:
+        scan_step = jax.checkpoint(scan_step)
+
     def scan_body(carry, depth):
         cur, rays_acc, si = carry
         dk = jax.random.fold_in(jax.random.fold_in(krest, si * 1024), depth)
         ku_, kv_ = jax.random.split(jax.random.fold_in(dk, 7))
         uu = jax.random.uniform(ku_, (r,))
         vv = jax.random.uniform(kv_, (r,))
-        cur, rays_acc, _, _ = step(cur, rays_acc, dk, uu, vv, None, depth)
+        cur, rays_acc = scan_step(scene, cur, rays_acc, dk, uu, vv, depth)
         return (cur, rays_acc, si), None
 
     results = []
@@ -592,6 +607,14 @@ def _trace_span(scene, cfg: IntegratorConfig, state, rays, krest,
         return state, rays
     r = state.org.shape[0]
 
+    def span_step(scn, cur, rays_acc, dk, uu, vv, depth):
+        cur, rays_acc, _, _ = _step(scn, cfg, cur, rays_acc, dk, uu, vv,
+                                    None, depth)
+        return cur, rays_acc
+
+    if cfg.remat:
+        span_step = jax.checkpoint(span_step)
+
     def scan_body(carry, depth):
         cur, rays_acc = carry
         # same key chain as trace()'s scan (si = 0) so the compacted path
@@ -600,8 +623,7 @@ def _trace_span(scene, cfg: IntegratorConfig, state, rays, krest,
         ku_, kv_ = jax.random.split(jax.random.fold_in(dk, 7))
         uu = jax.random.uniform(ku_, (r,))
         vv = jax.random.uniform(kv_, (r,))
-        cur, rays_acc, _, _ = _step(scene, cfg, cur, rays_acc, dk, uu, vv,
-                                    None, depth)
+        cur, rays_acc = span_step(scene, cur, rays_acc, dk, uu, vv, depth)
         return (cur, rays_acc), None
 
     (state, rays), _ = jax.lax.scan(
@@ -642,6 +664,133 @@ def _compact_and_finish(scene, cfg: IntegratorConfig, state: RayState,
     small, rays = _trace_span(scene, cfg, small, rays, krest, d0, d1)
     radiance = state.radiance.at[src].add(small.radiance)
     return radiance, rays
+
+
+def _morton_key(p, d):
+    """(R,) uint32 coherence key: 3-bit direction octant (major) + 27-bit
+    origin Morton code over the batch's bounding box. Used to pack surviving
+    bounce rays so chunked traversal sees spatially/directionally coherent
+    chunks (each 16k-chunk while_loop then exits at ITS OWN depth)."""
+    p = jax.lax.stop_gradient(p)
+    lo = jnp.min(p, axis=0)
+    hi = jnp.max(p, axis=0)
+    q = jnp.clip((p - lo) / jnp.maximum(hi - lo, 1e-9), 0.0, 1.0)
+
+    def expand(x):
+        v = (x * 511.0).astype(jnp.uint32)  # 9 bits per axis
+        v = (v * jnp.uint32(0x00010001)) & jnp.uint32(0xFF0000FF)
+        v = (v * jnp.uint32(0x00000101)) & jnp.uint32(0x0F00F00F)
+        v = (v * jnp.uint32(0x00000011)) & jnp.uint32(0xC30C30C3)
+        v = (v * jnp.uint32(0x00000005)) & jnp.uint32(0x49249249)
+        return v
+
+    m = (expand(q[..., 0]) << 2) | (expand(q[..., 1]) << 1) | expand(q[..., 2])
+    octant = (
+        (d[..., 0] > 0).astype(jnp.uint32)
+        | ((d[..., 1] > 0).astype(jnp.uint32) << 1)
+        | ((d[..., 2] > 0).astype(jnp.uint32) << 2)
+    )
+    return (octant << 27) | m
+
+
+def _reservoir_compact(state: RayState, cap: int, key):
+    """Shrink the wavefront to `cap` lanes with NO host sync and NO bias:
+    if S = #alive exceeds cap, a uniform-random subset of cap lanes
+    survives and each survivor's throughput is reweighted by S/cap —
+    population control with exactly preserved expectation (each alive lane
+    contributes E[kept] * S/cap = its original weight). When S <= cap every
+    alive lane is kept unweighted and the tail is exact.
+
+    Kept lanes are packed to the front ordered by the Morton/octant key,
+    so the compacted buffer is also coherence-sorted for chunked traversal
+    (VERDICT items 5+6 in one argsort). Returns (small_state, src)."""
+    alive = state.alive
+    r = alive.shape[0]
+    s_cnt = jnp.sum(alive.astype(jnp.int32))
+    u = jax.random.uniform(key, (r,))
+    order = jnp.argsort(jnp.where(alive, u, 2.0))
+    rank = jnp.zeros(r, jnp.int32).at[order].set(
+        jnp.arange(r, dtype=jnp.int32))
+    keep = alive & (rank < cap)
+    over = s_cnt > cap
+    w = jnp.where(over, s_cnt.astype(jnp.float32) / cap, 1.0)
+    w = jax.lax.stop_gradient(w)
+    throughput = jnp.where(keep[:, None], state.throughput * w,
+                           state.throughput)
+    mk = _morton_key(state.org, state.dirn)
+    pack = jnp.where(keep, mk, jnp.uint32(0xFFFFFFFF))
+    src = jnp.argsort(pack)[:cap]
+    small = RayState(
+        org=state.org[src],
+        dirn=state.dirn[src],
+        throughput=throughput[src],
+        radiance=jnp.zeros((cap, 3), jnp.float32),
+        emission_ok=state.emission_ok[src],
+        alive=keep[src],
+    )
+    return small, src
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "schedule", "d_max"))
+def _static_tail(scene, cfg: IntegratorConfig, state: RayState, krest,
+                 schedule, d_max: int):
+    """Depths [schedule[0].d, d_max) with reservoir compaction at each
+    scheduled (depth, cap) — one program, zero host syncs. Radiance
+    accumulated in each smaller buffer is scatter-added back up the chain."""
+    rays = jnp.int32(0)
+    stack = []
+    cur = state
+    for i, (d, cap) in enumerate(schedule):
+        ck = jax.random.fold_in(krest, 70000 + 131 * d)
+        small, src = _reservoir_compact(cur, cap, ck)
+        stack.append((cur.radiance, src))
+        d_next = schedule[i + 1][0] if i + 1 < len(schedule) else d_max
+        small, rays = _trace_span(scene, cfg, small, rays, krest, d, d_next)
+        cur = small
+    rad = cur.radiance
+    for parent_rad, src in reversed(stack):
+        rad = parent_rad.at[src].add(rad)
+    return rad, rays
+
+
+def trace_compacted_static(
+    scene: SceneData,
+    cfg: IntegratorConfig,
+    org,
+    dirn,
+    key,
+    strat_idx=None,
+    n_strat: int = 1,
+    schedule: tuple | None = None,
+    min_cap: int = 1 << 12,
+):
+    """Sync-free wavefront compaction (the WorkStealingScheduler.cs:9-30
+    replacement without trace_compacted's one host sync, which drains the
+    ~24 ms-dispatch pipeline on tunneled chips): capacities are FIXED at
+    trace time — default R/4 lanes at rr_start+1, R/16 two depths later —
+    and `_reservoir_compact` keeps the estimator unbiased even if more
+    lanes survive than a cap allows. Falls back to plain trace() when
+    compaction can't help."""
+    if cfg.specular_mode != SPECULAR_MODE_NAIVE or not cfg.russian_roulette:
+        return trace(scene, cfg, org, dirn, key, strat_idx, n_strat)
+    r = org.shape[0]
+    if schedule is None:
+        d1 = cfg.rr_start_depth + 1
+        schedule = ((d1, max(min_cap, r // 4)),
+                    (d1 + 2, max(min_cap, r // 16)))
+    schedule = tuple(
+        (d, c) for (d, c) in schedule if d <= cfg.max_bounces and c < r
+    )
+    if not schedule:
+        return trace(scene, cfg, org, dirn, key, strat_idx, n_strat)
+    d_first = schedule[0][0]
+    state, rays, alb, nrm, krest = _trace_prefix(
+        scene, cfg, org, dirn, key, strat_idx, n_strat, d_first
+    )
+    radiance, tail_rays = _static_tail(
+        scene, cfg, state, krest, schedule, cfg.max_bounces + 1
+    )
+    return TraceResult(radiance, alb, nrm, rays + tail_rays)
 
 
 def trace_compacted(

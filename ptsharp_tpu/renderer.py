@@ -42,11 +42,11 @@ class RenderConfig:
     firefly_threshold: float = 1.0
     filter: str = "box"  # pixel reconstruction filter (box/triangle/gaussian)
     max_rays_per_chunk: int = 1 << 21  # wavefront width bound (memory knob)
-    # wavefront compaction (trace_compacted): after Russian roulette culls
-    # the wavefront, survivors are argsort-compacted into a power-of-two
-    # buffer for the tail depths. One host sync per chunk — a win for big
-    # chunks / deep bounce budgets, a loss for small pipelined chunks on
-    # high-dispatch-latency links, hence opt-in.
+    # wavefront compaction (trace_compacted_static): after Russian roulette
+    # culls the wavefront, survivors are reservoir-capped + Morton-packed
+    # into statically scheduled smaller buffers for the tail depths — zero
+    # host syncs (the schedule is fixed at trace time; overflow beyond a
+    # cap is handled unbiasedly by throughput reweighting).
     compaction: bool = False
 
 
@@ -150,7 +150,7 @@ class Renderer:
         )
 
         if cfg.compaction:
-            from ptsharp_tpu.integrator import trace_compacted
+            from ptsharp_tpu.integrator import trace_compacted_static
 
             raygen_j = jax.jit(raygen, static_argnames=("rows", "spp"))
             film_j = jax.jit(film_accumulate, static_argnames=("rows", "spp"))
@@ -161,8 +161,8 @@ class Renderer:
                     scene, camera, key, row0, rows, spp
                 )
                 n_strat = max(1, int(np.sqrt(spp))) if cfg.stratified else 1
-                result = trace_compacted(scene, icfg, org, dirn, kt, sidx2,
-                                         n_strat)
+                result = trace_compacted_static(scene, icfg, org, dirn, kt,
+                                                sidx2, n_strat)
                 return film_j(result, ju, jv, rows, spp, weight_rows)
 
             self._chunk_fn = compacted_chunk

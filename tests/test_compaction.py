@@ -80,6 +80,58 @@ def test_trace_compacted_matches_trace():
     assert close.mean() > 0.99
 
 
+def test_reservoir_compact_unbiased_weights():
+    """_reservoir_compact: when survivors exceed the cap, exactly cap lanes
+    survive, each reweighted by S/cap, so total expected throughput is
+    preserved; when S <= cap, all survive unweighted."""
+    from ptsharp_tpu.integrator import _reservoir_compact
+
+    r = 256
+    rng = np.random.default_rng(1)
+    alive = jnp.asarray(rng.random(r) < 0.5)
+    st = RayState(
+        org=jnp.asarray(rng.normal(size=(r, 3)).astype(np.float32)),
+        dirn=jnp.ones((r, 3)),
+        throughput=jnp.ones((r, 3)),
+        radiance=jnp.zeros((r, 3)),
+        emission_ok=jnp.ones(r, bool),
+        alive=alive,
+    )
+    s = int(alive.sum())
+    cap = s // 2
+    small, src = _reservoir_compact(st, cap, jax.random.PRNGKey(0))
+    assert int(small.alive.sum()) == cap  # exactly cap survivors
+    # each survivor's throughput carries the S/cap reweight
+    surv_tp = np.asarray(small.throughput)[np.asarray(small.alive)]
+    np.testing.assert_allclose(surv_tp, s / cap, rtol=1e-6)
+    # no-overflow case: all alive kept, unweighted
+    small2, _ = _reservoir_compact(st, s + 10, jax.random.PRNGKey(0))
+    assert int(small2.alive.sum()) == s
+    surv_tp2 = np.asarray(small2.throughput)[np.asarray(small2.alive)]
+    np.testing.assert_allclose(surv_tp2, 1.0)
+
+
+def test_trace_compacted_static_matches_trace():
+    """The sync-free static-schedule estimator converges to the same
+    integral as plain trace on the RR cornell config."""
+    from ptsharp_tpu.integrator import trace_compacted_static
+
+    scene, icfg, org, dirn, key = _cornell_rays(8192)
+    icfg = IntegratorConfig(max_bounces=8, russian_roulette=True,
+                            rr_start_depth=2)
+    a = trace(scene, icfg, org, dirn, key)
+    b = trace_compacted_static(scene, icfg, org, dirn, key, min_cap=256)
+    ra, rb = np.asarray(a.radiance), np.asarray(b.radiance)
+    assert np.isfinite(rb).all()
+    np.testing.assert_allclose(rb.mean(), ra.mean(), rtol=0.03)
+    # with generous caps (no overflow possible) the estimator is exact for
+    # lanes dead before the first compaction point (shared prefix chain)
+    c = trace_compacted_static(scene, icfg, org, dirn, key,
+                               schedule=((3, 4096),))
+    rc = np.asarray(c.radiance)
+    np.testing.assert_allclose(rc.mean(), ra.mean(), rtol=0.03)
+
+
 def test_trace_compacted_fallback_paths():
     """No RR, or nothing culled -> falls back to plain trace results."""
     scene, icfg, org, dirn, key = _cornell_rays(1024)
