@@ -448,6 +448,14 @@ def closest_hit(scene: SceneData, org, dirn, t_max=None) -> Hit:
                     scene.u_rows, scene.leaf_rows, o, d, best_t,
                     scene.u_inst_base[i], scene.u_inst_end[i], scene.max_leaf,
                 )
+            elif scene.intersector == "pallas":
+                from ptsharp_tpu.pallas import wide_kernel as wk
+
+                t, slot, u, v = wk.pallas_traverse_wide(
+                    scene.p_rows, scene.p_leaf, o, d, best_t,
+                    scene.p_inst_base[i], scene.p_inst_end[i],
+                    scene.max_leaf, scene.wide_k,
+                )
             else:  # "wide" — K-wide node rows, fewest gathers per ray
                 t, slot, u, v = traverse.traverse_wide_chunked(
                     scene.w_rows, scene.leaf_rows, o, d, best_t,

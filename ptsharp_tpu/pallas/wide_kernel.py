@@ -1,0 +1,348 @@
+"""Pallas TPU kernel: K-wide fused BVH traversal + Möller–Trumbore.
+
+The production Pallas mesh path (north star: hot stages as Pallas kernels
+over SoA buffers; reference hot loop Tree.cs:67-128 + Triangle.cs:95-124).
+Supersedes pallas/traverse_kernel.py's binary-row kernel, whose (N, 10)
+node table Mosaic lane-pads to (N, 128) — a silent 12.8x VMEM inflation
+that crashed the compiler at 82k-triangle scale. Here every table row IS a
+128-lane VMEM row:
+
+  * node rows: the K-wide layout of accel/wide.py (own box, leaf payload,
+    skip, K child boxes + preorder indices — 9 + 7K <= 65 slots for K=8),
+    one node per (128,) row;
+  * leaf rows: leaf_size*9 <= 126 slots (14 triangles max), one leaf block
+    per (128,) row.
+
+A tile of T rays walks in lockstep with ONE shared scalar cursor (the
+packet formulation): each step reads one node row (dynamic sublane index —
+zero gathers, the measured XLA-walk bottleneck, scripts/exp_gather.py),
+slab-tests the K child boxes per ray, and jumps to the minimum preorder
+index any ray wants next. Per-ray best-t masking keeps results exact; the
+tile visits the union of nodes its rays need, so coherence sets the speed
+(the integrator's compaction sort feeds it coherent bounce tiles).
+
+Completeness: child subtrees are preorder-contiguous and `skip` exits a
+subtree, so from the tile cursor min every ray's wanted node is reached
+through descend/skip steps exactly as in the XLA wide walk
+(accel/wide.py docstring has the proof sketch).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ptsharp_tpu.core import vec
+
+TILE = 1024  # rays per grid step (8 sublanes x 128 lanes)
+ROW = 128    # lanes per table row
+BIG = np.int32(2**31 - 1)
+
+
+class PallasTables(NamedTuple):
+    """Device tables for the wide Pallas kernel, one 128-lane row per node
+    and per leaf block. slot_map sends kernel-local triangle slots to the
+    scene's slot-ordered triangle arrays (the kernel re-packs leaves with
+    its own leaf_size, so slot spaces differ)."""
+
+    rows: jnp.ndarray       # (Nw, 128) f32 wide node rows
+    leaf: jnp.ndarray       # (NL, 128) f32 leaf MT rows (v0,e1,e2 x leaf)
+    slot_map: jnp.ndarray   # (NL * leaf_size,) i32 -> scene slot (or -1)
+    inst_base: np.ndarray   # (I,) host ints: wide-row range per instance
+    inst_end: np.ndarray    # (I,)
+    leaf_size: int
+    k: int
+
+
+def _kernel(rows_ref, leaf_ref, org_ref, dir_ref, tmax_ref,
+            t_ref, slot_ref, u_ref, v_ref,
+            *, base, end, leaf_size, k, max_iters):
+    ox = org_ref[0, :]
+    oy = org_ref[1, :]
+    oz = org_ref[2, :]
+    dx = dir_ref[0, :]
+    dy = dir_ref[1, :]
+    dz = dir_ref[2, :]
+
+    def safe_inv(d):
+        return 1.0 / jnp.where(jnp.abs(d) < 1e-30,
+                               jnp.where(d < 0, -1e-30, 1e-30), d)
+
+    ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+
+    def cond(s):
+        j, it, bt, bs, bu, bv = s
+        return jnp.logical_and(j < end, it < max_iters)
+
+    def body(s):
+        j, it, bt, bs, bu, bv = s
+        nrow = rows_ref[j]  # (128,) — the only node access this step
+        bits = jax.lax.bitcast_convert_type(nrow, jnp.int32)
+        first = bits[6]
+        cnt = bits[7] & 0xFF
+        skip = bits[8]
+
+        # own-box slab test (masks leaf hits per ray)
+        lox = (nrow[0] - ox) * ix
+        hix = (nrow[3] - ox) * ix
+        loy = (nrow[1] - oy) * iy
+        hiy = (nrow[4] - oy) * iy
+        loz = (nrow[2] - oz) * iz
+        hiz = (nrow[5] - oz) * iz
+        tmin = jnp.maximum(
+            jnp.maximum(jnp.minimum(lox, hix), jnp.minimum(loy, hiy)),
+            jnp.minimum(loz, hiz),
+        )
+        tmax = jnp.minimum(
+            jnp.minimum(jnp.maximum(lox, hix), jnp.maximum(loy, hiy)),
+            jnp.maximum(loz, hiz),
+        )
+        box_hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < bt)
+        any_hit = jnp.any(box_hit)
+        is_leaf = cnt > 0
+
+        def do_leaf(args):
+            bt, bs, bu, bv = args
+            blk = leaf_ref[first // leaf_size]  # (128,)
+            for l in range(leaf_size):
+                v0x, v0y, v0z = blk[l * 9 + 0], blk[l * 9 + 1], blk[l * 9 + 2]
+                e1x, e1y, e1z = blk[l * 9 + 3], blk[l * 9 + 4], blk[l * 9 + 5]
+                e2x, e2y, e2z = blk[l * 9 + 6], blk[l * 9 + 7], blk[l * 9 + 8]
+                hx = dy * e2z - dz * e2y
+                hy = dz * e2x - dx * e2z
+                hz = dx * e2y - dy * e2x
+                det = e1x * hx + e1y * hy + e1z * hz
+                inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+                sx = ox - v0x
+                sy = oy - v0y
+                sz = oz - v0z
+                uu = (sx * hx + sy * hy + sz * hz) * inv_det
+                qx = sy * e1z - sz * e1y
+                qy = sz * e1x - sx * e1z
+                qz = sx * e1y - sy * e1x
+                vv = (dx * qx + dy * qy + dz * qz) * inv_det
+                tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                got = (
+                    box_hit
+                    & (jnp.abs(det) > 1e-12)
+                    & (uu >= 0.0) & (uu <= 1.0)
+                    & (vv >= 0.0) & (uu + vv <= 1.0)
+                    & (tt > 1e-4)
+                    & (tt < bt)
+                )
+                bt = jnp.where(got, tt, bt)
+                bs = jnp.where(got, first + l, bs)
+                bu = jnp.where(got, uu, bu)
+                bv = jnp.where(got, vv, bv)
+            return bt, bs, bu, bv
+
+        bt, bs, bu, bv = jax.lax.cond(
+            jnp.logical_and(any_hit, is_leaf), do_leaf,
+            lambda a: a, (bt, bs, bu, bv),
+        )
+
+        # K-way descent: per ray, the first (min preorder) hit child; tile
+        # cursor = min over rays (union visit). Absent children have
+        # inverted boxes + index 0 — never selected.
+        target = jnp.full(ox.shape, BIG, jnp.int32)
+        for c in range(k):
+            cb = 9 + 6 * c
+            clox = (nrow[cb + 0] - ox) * ix
+            cloy = (nrow[cb + 1] - oy) * iy
+            cloz = (nrow[cb + 2] - oz) * iz
+            chix = (nrow[cb + 3] - ox) * ix
+            chiy = (nrow[cb + 4] - oy) * iy
+            chiz = (nrow[cb + 5] - oz) * iz
+            ctmin = jnp.maximum(
+                jnp.maximum(jnp.minimum(clox, chix), jnp.minimum(cloy, chiy)),
+                jnp.minimum(cloz, chiz),
+            )
+            ctmax = jnp.minimum(
+                jnp.minimum(jnp.maximum(clox, chix), jnp.maximum(cloy, chiy)),
+                jnp.maximum(cloz, chiz),
+            )
+            cidx = bits[9 + 6 * k + c]
+            chit = (
+                (ctmax >= jnp.maximum(ctmin, 0.0))
+                & (ctmin < bt)
+                & (cidx > 0)
+            )
+            target = jnp.where(chit & (cidx < target), cidx, target)
+
+        descend = box_hit & jnp.logical_not(is_leaf)
+        ray_next = jnp.where(descend & (target < BIG), target, skip)
+        nxt = jnp.min(ray_next)
+        return nxt, it + 1, bt, bs, bu, bv
+
+    t0 = tmax_ref[0, :]
+    init = (
+        jnp.int32(base), jnp.int32(0), t0,
+        jnp.full(t0.shape, -1, jnp.int32),
+        jnp.zeros(t0.shape, jnp.float32),
+        jnp.zeros(t0.shape, jnp.float32),
+    )
+    _, _, bt, bs, bu, bv = jax.lax.while_loop(cond, body, init)
+    t_ref[0, :] = jnp.where(bs >= 0, bt, vec.INF)
+    slot_ref[0, :] = bs
+    u_ref[0, :] = bu
+    v_ref[0, :] = bv
+
+
+def pallas_traverse_wide(rows, leaf, org, dirn, t_max, base: int, end: int,
+                         leaf_size: int, k: int, tile: int = TILE,
+                         max_iters: int = 262144,
+                         interpret: bool | None = None):
+    """Closest-hit over [base, end) wide rows. Returns (t, slot, u, v) with
+    slot in KERNEL leaf order (map through PallasTables.slot_map).
+    base/end are Python ints (the kernel specializes on them)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    org = jax.lax.stop_gradient(org)
+    dirn = jax.lax.stop_gradient(dirn)
+    r = org.shape[0]
+    tm = jnp.broadcast_to(
+        jax.lax.stop_gradient(jnp.asarray(t_max, jnp.float32)), (r,)
+    )
+    pad = (-r) % tile
+    if pad:
+        org = jnp.concatenate([org, jnp.zeros((pad, 3), org.dtype)])
+        dirn = jnp.concatenate([dirn, jnp.ones((pad, 3), dirn.dtype)])
+        tm = jnp.concatenate([tm, jnp.full((pad,), -vec.INF, jnp.float32)])
+    rp = r + pad
+    n_tiles = rp // tile
+    org_t = org.T.reshape(3, rp)
+    dir_t = dirn.T.reshape(3, rp)
+    tm2 = tm.reshape(1, rp)
+
+    kern = functools.partial(
+        _kernel, base=int(base), end=int(end), leaf_size=int(leaf_size),
+        k=int(k), max_iters=max_iters,
+    )
+    out_shapes = (
+        jax.ShapeDtypeStruct((1, rp), jnp.float32),
+        jax.ShapeDtypeStruct((1, rp), jnp.int32),
+        jax.ShapeDtypeStruct((1, rp), jnp.float32),
+        jax.ShapeDtypeStruct((1, rp), jnp.float32),
+    )
+    ray_spec = pl.BlockSpec((3, tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    t, slot, u, v = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        out_shape=out_shapes,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # node rows (full)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # leaf rows (full)
+            ray_spec, ray_spec, row_spec,
+        ],
+        out_specs=(row_spec, row_spec, row_spec, row_spec),
+        interpret=interpret,
+    )(rows, leaf, org_t, dir_t, tm2)
+    return t[0, :r], slot[0, :r], u[0, :r], v[0, :r]
+
+
+# ---------------------------------------------------------------------------
+# Host-side table packing
+# ---------------------------------------------------------------------------
+
+
+def fits_vmem(tables: PallasTables,
+              budget_bytes: int = 12 * 1024 * 1024) -> bool:
+    """Node + leaf tables must sit in VMEM alongside the ray tiles."""
+    return (tables.rows.size + tables.leaf.size) * 4 <= budget_bytes
+
+
+def pack_tables(tri_v0, tri_e1, tri_e2, inst_tri_lists,
+                leaf_size: int = 12, k: int = 8) -> PallasTables:
+    """Build kernel tables from the scene's slot-ordered triangle arrays.
+
+    tri_v0/e1/e2: (S, 3) numpy, the scene's slot-ordered triangles (padding
+    slots are all-zero). inst_tri_lists: per instance, the array of SCENE
+    slots holding its real triangles (mesh order). A fresh median BVH is
+    built per instance with the kernel's own leaf size (<= 14 so one leaf
+    row is one 128-lane VMEM row), collapsed K-wide, and packed.
+    """
+    assert leaf_size * 9 <= ROW and 9 + 7 * k <= ROW
+    from ptsharp_tpu.accel import bvh as bvh_mod
+    from ptsharp_tpu.accel import wide as wide_mod
+
+    all_rows = []
+    all_leaf = []
+    all_map = []
+    inst_base = []
+    inst_end = []
+    row_off = 0
+    leaf_off = 0
+    for slots in inst_tri_lists:
+        slots = np.asarray(slots, np.int64)
+        v0 = np.asarray(tri_v0[slots], np.float32)
+        e1 = np.asarray(tri_e1[slots], np.float32)
+        e2 = np.asarray(tri_e2[slots], np.float32)
+        bmin_t = np.minimum(v0, np.minimum(v0 + e1, v0 + e2))
+        bmax_t = np.maximum(v0, np.maximum(v0 + e1, v0 + e2))
+        tree = bvh_mod.build(bmin_t, bmax_t, leaf_size=leaf_size)
+        order = tree.order  # sorted-tri -> instance-local tri index
+        # re-slot leaves: node_first indexes prim_order runs; pack each
+        # leaf's triangles into one 128-lane row
+        nl = int(np.sum(tree.count > 0))
+        leaf_rows = np.zeros((nl, ROW), np.float32)
+        smap = np.full(nl * leaf_size, -1, np.int32)
+        new_first = tree.first.copy()
+        li = 0
+        for ni in range(tree.count.shape[0]):
+            c = int(tree.count[ni])
+            if c <= 0:
+                continue
+            f = int(tree.first[ni])
+            tri = order[f:f + c]
+            row = np.zeros(ROW, np.float32)
+            for j, t in enumerate(tri):
+                row[j * 9:j * 9 + 3] = v0[t]
+                row[j * 9 + 3:j * 9 + 6] = e1[t]
+                row[j * 9 + 6:j * 9 + 9] = e2[t]
+                smap[li * leaf_size + j] = slots[t]
+            leaf_rows[li] = row
+            new_first[ni] = (leaf_off + li) * leaf_size
+            li += 1
+        w = wide_mod.collapse(tree.bmin, tree.bmax, new_first,
+                              np.minimum(tree.count, leaf_size),
+                              tree.skip, k=k)
+        rows = _pack_rows_128(w, row_off)
+        all_rows.append(rows)
+        all_leaf.append(leaf_rows)
+        all_map.append(smap)
+        inst_base.append(row_off)
+        inst_end.append(row_off + rows.shape[0])
+        row_off += rows.shape[0]
+        leaf_off += li
+    rows = np.concatenate(all_rows) if all_rows else np.zeros((0, ROW), np.float32)
+    leaf = np.concatenate(all_leaf) if all_leaf else np.zeros((0, ROW), np.float32)
+    smap = np.concatenate(all_map) if all_map else np.zeros((0,), np.int32)
+    return PallasTables(
+        rows=jnp.asarray(rows), leaf=jnp.asarray(leaf),
+        slot_map=jnp.asarray(smap),
+        inst_base=np.asarray(inst_base, np.int64),
+        inst_end=np.asarray(inst_end, np.int64),
+        leaf_size=leaf_size, k=k,
+    )
+
+
+def _pack_rows_128(w, node_offset: int) -> np.ndarray:
+    """accel/wide.pack_rows layout, lane-padded to one node per 128-lane
+    row (what Mosaic materializes anyway for any row width — make the
+    padding explicit so VMEM budgeting is honest)."""
+    from ptsharp_tpu.accel import wide as wide_mod
+
+    base = wide_mod.pack_rows(w, node_offset)
+    nw = base.shape[0]
+    rows = np.zeros((nw, ROW), np.float32)
+    rows[:, :base.shape[1]] = base
+    return rows

@@ -58,6 +58,7 @@ _DATA_FIELDS = [
     "u_bmin", "u_bmax", "u_first", "u_count", "u_kind", "u_skip",
     "u_rows", "leaf_rows",
     "w_rows", "w_inst_base", "w_inst_end",
+    "p_rows", "p_leaf",
     "cluster_bmin", "cluster_bmax", "cluster_rows",
     "inst_cluster_base", "inst_cluster_end",
     "u_inst_base", "u_inst_end",
@@ -72,6 +73,7 @@ _META_FIELDS = [
     "sdf_objects", "volumes", "functions", "sphere_xform", "cube_xform",
     "cyl_xform", "max_leaf", "env_texture", "has_surface_maps",
     "tlas_end", "use_tlas", "intersector", "wide_k", "w_tlas_end",
+    "p_inst_base", "p_inst_end",
 ]
 
 
@@ -154,6 +156,11 @@ class SceneData:
     w_rows: jnp.ndarray        # (Nw, wide.row_width(K))
     w_inst_base: jnp.ndarray   # per-instance wide BLAS range
     w_inst_end: jnp.ndarray
+    # Pallas kernel tables (intersector="pallas"): the same K-wide BLAS
+    # rows and leaf MT rows, lane-padded so one node / one leaf block IS
+    # one 128-lane VMEM row (pallas/wide_kernel.py). Empty otherwise.
+    p_rows: jnp.ndarray        # (Nw, 128)
+    p_leaf: jnp.ndarray        # (NL, 128)
     # cluster tables for the fixed-depth cull intersector: GROUP consecutive
     # leaf rows form one cluster; cluster_rows is a reshape of leaf_rows so
     # cluster c's triangles occupy slots [c*G*leaf, (c+1)*G*leaf)
@@ -201,9 +208,11 @@ class SceneData:
     has_surface_maps: bool
     tlas_end: int    # number of TLAS nodes at the head of the u_* arrays
     use_tlas: bool   # static dispatch: unified traversal vs per-type passes
-    intersector: str  # mesh path: "wide" (K-wide walk), "walk", "cluster"
+    intersector: str  # mesh path: "wide"/"walk"/"cluster"/"pallas"
     wide_k: int       # branching factor of the wide node rows
     w_tlas_end: int   # wide TLAS node count at the head of w_rows
+    p_inst_base: tuple  # per-instance Pallas row range (host ints: the
+    p_inst_end: tuple   # kernel specializes on them)
 
     @property
     def num_lights(self) -> int:
@@ -432,8 +441,20 @@ class SceneBuilder:
         hardware but is divergence-insensitive by construction; kept as a
         measured alternative). Cluster tables are only materialized when
         the cluster intersector is selected (they duplicate all leaf
-        geometry in HBM)."""
-        assert intersector in ("wide", "walk", "cluster"), intersector
+        geometry in HBM).
+
+        "pallas" selects the fused Pallas traversal kernel
+        (pallas/wide_kernel.py): the wide BLAS + leaf tables are re-packed
+        one row per 128-lane VMEM row and the whole walk runs on-chip with
+        zero HBM gathers. Requires leaf_size <= 14 (one leaf block per
+        row) and VMEM-resident tables; wide_k=8 recommended. Forces the
+        per-instance dispatch path (no unified TLAS re-entry)."""
+        assert intersector in ("wide", "walk", "cluster", "pallas"), intersector
+        if intersector == "pallas":
+            assert leaf_size * 9 <= 128, "pallas: leaf_size <= 14"
+            assert 9 + 7 * wide_k <= 128, "pallas: wide_k <= 17"
+            assert use_tlas is not True, "pallas intersector is per-instance"
+            use_tlas = False
         f32 = jnp.float32
         i32 = jnp.int32
 
@@ -701,6 +722,35 @@ class SceneBuilder:
             w_off += nwm
         w_rows = (np.concatenate(w_parts) if w_parts
                   else np.zeros((0, wide_mod.row_width(wide_k)), np.float32))
+
+        # Pallas tables: per-mesh wide BLAS rows with their own offsets (no
+        # TLAS head), one node per 128-lane row; leaf rows lane-padded the
+        # same way. Slot indices are the scene's (identity slot map).
+        if intersector == "pallas":
+            p_parts = []
+            p_range = []
+            p_off = 0
+            for wmesh in mesh_wide:
+                base_rows = wide_mod.pack_rows(wmesh, p_off)
+                nwm = base_rows.shape[0]
+                padded = np.zeros((nwm, 128), np.float32)
+                padded[:, :base_rows.shape[1]] = base_rows
+                p_parts.append(padded)
+                p_range.append((p_off, p_off + nwm))
+                p_off += nwm
+            p_rows = (np.concatenate(p_parts) if p_parts
+                      else np.zeros((0, 128), np.float32))
+            p_leaf = np.zeros((leaf_rows.shape[0], 128), np.float32)
+            p_leaf[:, :leaf_rows.shape[1]] = leaf_rows
+            p_inst_b = tuple(int(p_range[mi][0])
+                             for mi, *_ in self._instances)
+            p_inst_e = tuple(int(p_range[mi][1])
+                             for mi, *_ in self._instances)
+        else:
+            p_rows = np.zeros((0, 128), np.float32)
+            p_leaf = np.zeros((0, 128), np.float32)
+            p_inst_b = ()
+            p_inst_e = ()
         w_inst_b = np.asarray(
             [w_mesh_range[mi][0] for mi, *_ in self._instances], np.int32
         ) if self._instances else np.zeros(0, np.int32)
@@ -826,6 +876,8 @@ class SceneBuilder:
             w_rows=jnp.asarray(w_rows),
             w_inst_base=jnp.asarray(w_inst_b),
             w_inst_end=jnp.asarray(w_inst_e),
+            p_rows=jnp.asarray(p_rows),
+            p_leaf=jnp.asarray(p_leaf),
             cluster_bmin=jnp.asarray(cl_bmin),
             cluster_bmax=jnp.asarray(cl_bmax),
             cluster_rows=jnp.asarray(cluster_rows),
@@ -867,6 +919,8 @@ class SceneBuilder:
             intersector=intersector,
             wide_k=int(wide_k),
             w_tlas_end=int(w_tlas_n),
+            p_inst_base=p_inst_b,
+            p_inst_end=p_inst_e,
             has_surface_maps=any(
                 m.normal_texture >= 0 or m.bump_texture >= 0
                 for m in self._materials
