@@ -187,7 +187,8 @@ def _bunny_mesh(subdivisions: int = 6, seed: int = 11) -> TriMesh:
 
 
 @example("bunny")
-def bunny(width=1920, height=1080, subdivisions: int = 6):
+def bunny(width=1920, height=1080, subdivisions: int = 6,
+          intersector: str = "wide", wide_k: int = 4):
     """BASELINE config #3: a bunny-class triangle mesh (81,920 tris) with a
     procedural marble texture, flattened-BVH traversal, 1080p (reference
     bunny, Example.cs:1084-1102)."""
@@ -206,7 +207,7 @@ def bunny(width=1920, height=1080, subdivisions: int = 6):
     b.add_plane([0, 0, 0], [0, 1, 0], diffuse_material([0.75, 0.72, 0.68]))
     b.add_sphere([3.5, 6, -3], 1.6, light_material([1, 1, 1], 9.0))
     b.set_environment(color=[0.10, 0.11, 0.14])
-    scene = b.build(leaf_size=8)
+    scene = b.build(leaf_size=8, intersector=intersector, wide_k=wide_k)
     cam = Camera.look_at([0, 1.8, -4.2], [0, 0.9, 0], [0, 1, 0], 38.0)
     return scene, cam, RenderConfig(width=width, height=height, spp=16), \
         IntegratorConfig(max_bounces=4)
@@ -237,6 +238,36 @@ def dragon(width=512, height=288):
     scene = b.build(leaf_size=8)
     cam = Camera.look_at([0, 1.6, -3.6], [0, 0.5, 0], [0, 1, 0], 42.0)
     return scene, cam, RenderConfig(width=width, height=height, spp=16), \
+        IntegratorConfig(max_bounces=4)
+
+
+@example("dragon_hd")
+def dragon_hd(width=960, height=540, subdivisions: int = 8,
+              intersector: str = "wide", wide_k: int = 4):
+    """Dragon-SCALE mesh: 1,310,720 triangles (subdiv-8 displaced
+    icosphere with the serpentine warp) — past the reference's 871k-tri
+    dragon (Example.cs:977) and far past the old 524k packed-node cap
+    (now removed: skip owns a full int32 slot). Exercises million-node
+    BVH builds + traversal at production scale."""
+    m = _bunny_mesh(subdivisions, seed=23)
+    v = m.v.reshape(-1, 3).copy()
+    t = v[:, 0] * 1.5
+    c, s = np.cos(t * 0.8), np.sin(t * 0.8)
+    y = v[:, 1] * c - v[:, 2] * s
+    z = v[:, 1] * s + v[:, 2] * c
+    v[:, 1], v[:, 2] = y * 0.6, z * 0.8
+    v[:, 0] *= 1.9
+    m = TriMesh(v=v.reshape(-1, 3, 3), uv=m.uv).smooth_normals()
+    b = SceneBuilder()
+    jade = glossy_material([0.35, 0.72, 0.45], 1.6, math.radians(16))
+    b.add_mesh(m.fit_inside([-1.6, 0, -0.8], [1.6, 1.2, 0.8], [0.5, 0, 0.5]),
+               jade)
+    b.add_plane([0, 0, 0], [0, 1, 0], diffuse_material([0.42, 0.42, 0.45]))
+    b.add_sphere([-2.5, 5, -3], 1.4, light_material([1, 1, 1], 10.0))
+    b.set_environment(color=[0.15, 0.17, 0.21])
+    scene = b.build(leaf_size=8, intersector=intersector, wide_k=wide_k)
+    cam = Camera.look_at([0, 1.6, -3.6], [0, 0.5, 0], [0, 1, 0], 42.0)
+    return scene, cam, RenderConfig(width=width, height=height, spp=8), \
         IntegratorConfig(max_bounces=4)
 
 

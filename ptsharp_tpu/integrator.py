@@ -33,6 +33,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from jax.ad_checkpoint import checkpoint_name
+
 from ptsharp_tpu.core import sampling, vec
 from ptsharp_tpu.intersect import Hit, HitInfo, closest_hit, hit_info
 from ptsharp_tpu.scene import PT_NONE, PT_TRIANGLE, SceneData
@@ -66,6 +68,17 @@ class IntegratorConfig:
     # inputs) across the depth scan, the backward re-runs the bounce.
     # Numerically exact; trades recompute for HBM residual traffic.
     remat: bool = True
+    # "hits": save the per-bounce hit records (6 scalars/ray — tiny) as
+    # named checkpoint residuals so the backward rematerializes shading
+    # but NOT the closest-hit traversal (the dominant forward cost);
+    # "full": save nothing, re-run everything.
+    remat_policy: str = "hits"
+    # sort each scanned bounce's wavefront by direction-octant + origin
+    # Morton before closest-hit (results scattered back): bounce rays are
+    # incoherent, and both the chunked XLA walks and the Pallas packet
+    # kernels traverse coherent chunks several times faster than the
+    # argsort costs. Primary rays (depth 0) are image-ordered already.
+    sort_bounces: bool = True
 
 
 class RayState(NamedTuple):
@@ -202,6 +215,8 @@ def sample_lights(scene: SceneData, cfg: IntegratorConfig, position, normal,
             hyp0 + 2.0 * radius + 1e-3,
         )
         shadow_hit = closest_hit(scene, position, ray_dir, t_max=shadow_tmax)
+        shadow_hit = Hit(*(checkpoint_name(f, "hit")
+                           for f in shadow_hit))
         idx_match = jnp.where(
             is_tri,
             shadow_hit.inst == scene.light_pindex[lidx],
@@ -328,9 +343,29 @@ def _bounce(scene: SceneData, cfg: IntegratorConfig, state: RayState,
     return new_org, new_dir, branch_weight, is_specular, p
 
 
+def _remat_policy(cfg: IntegratorConfig):
+    """Checkpoint policy for the per-bounce remat: "hits" keeps the named
+    hit-record residuals (cheap) so the backward skips the traversal."""
+    if cfg.remat_policy == "hits":
+        return jax.checkpoint_policies.save_only_these_names("hit")
+    return None
+
+
+def _sorted_closest_hit(scene: SceneData, org, dirn):
+    """Closest-hit with the wavefront permuted into Morton/octant order so
+    traversal chunks are coherent; the hit record is scattered back to the
+    caller's lane order. Pure detached permutation — estimator unchanged."""
+    mk = _morton_key(org, dirn)
+    perm = jnp.argsort(mk)
+    hit = closest_hit(scene, org[perm], dirn[perm])
+    inv = jnp.argsort(perm)
+    return Hit(*(f[inv] for f in hit))
+
+
 def _step(scene: SceneData, cfg: IntegratorConfig, state, rays, depth_key,
           u1, u2, force_mode, depth_static,
-          pre_hit=None, count_primary=True, suppress_shared=False):
+          pre_hit=None, count_primary=True, suppress_shared=False,
+          sort_rays=False):
     """One wavefront bounce. Returns (state, rays, first_albedo,
     first_normal). pre_hit lets a branch split share one primary
     closest-hit between its two branches (Sampler.cs:85-131 re-traces;
@@ -339,9 +374,18 @@ def _step(scene: SceneData, cfg: IntegratorConfig, state, rays, depth_key,
     accumulated by the first wavefront, so only the continuation may
     add radiance (the caller also zeroes the inherited radiance so the
     final sum over wavefronts counts everything exactly once)."""
-    hit = pre_hit if pre_hit is not None else closest_hit(
-        scene, state.org, state.dirn
-    )
+    # static gate: sorting only pays where traversal is divergence-bound
+    # (mesh scenes); analytic-only scenes would pay the argsort for nothing
+    do_sort = sort_rays and cfg.sort_bounces and scene.inst_inv.shape[0] > 0
+    if pre_hit is not None:
+        hit = pre_hit
+    elif do_sort:
+        hit = _sorted_closest_hit(scene, state.org, state.dirn)
+    else:
+        hit = closest_hit(scene, state.org, state.dirn)
+    # named residual: under remat_policy="hits" the backward pass keeps
+    # these 6 per-ray scalars instead of re-running the traversal
+    hit = Hit(*(checkpoint_name(f, "hit") for f in hit))
     if count_primary:
         rays = rays + jnp.sum(state.alive.astype(jnp.int32))
     info = hit_info(scene, state.org, state.dirn, hit)
@@ -523,11 +567,11 @@ def trace(
     # saving per-bounce wavefront residuals across the whole scan.
     def scan_step(scn, cur, rays_acc, dk, uu, vv, depth):
         cur, rays_acc, _, _ = _step(scn, cfg, cur, rays_acc, dk, uu, vv,
-                                    None, depth)
+                                    None, depth, sort_rays=True)
         return cur, rays_acc
 
     if cfg.remat:
-        scan_step = jax.checkpoint(scan_step)
+        scan_step = jax.checkpoint(scan_step, policy=_remat_policy(cfg))
 
     def scan_body(carry, depth):
         cur, rays_acc, si = carry
@@ -609,11 +653,11 @@ def _trace_span(scene, cfg: IntegratorConfig, state, rays, krest,
 
     def span_step(scn, cur, rays_acc, dk, uu, vv, depth):
         cur, rays_acc, _, _ = _step(scn, cfg, cur, rays_acc, dk, uu, vv,
-                                    None, depth)
+                                    None, depth, sort_rays=True)
         return cur, rays_acc
 
     if cfg.remat:
-        span_step = jax.checkpoint(span_step)
+        span_step = jax.checkpoint(span_step, policy=_remat_policy(cfg))
 
     def scan_body(carry, depth):
         cur, rays_acc = carry

@@ -250,6 +250,216 @@ def pallas_traverse_wide(rows, leaf, org, dirn, t_max, base: int, end: int,
 
 
 # ---------------------------------------------------------------------------
+# 8-packet sublane kernel: 8 independent 128-ray packets per (8, 128) tile
+# ---------------------------------------------------------------------------
+#
+# The shared-cursor packet kernel above issues (tile,)-wide VPU ops for ONE
+# node per step; at tile=1024 that is a full (8, 128) VPU tile of work per
+# node, but the 1024-ray union of visited nodes is large. This variant
+# gives each SUBLANE GROUP of 128 rays its own cursor: every loop step
+# advances 8 different nodes at once, the per-op VPU shape is the same
+# (8, 128) tile, and the union shrinks to that of 128-ray packets. Per-group
+# node rows are copied into an (8, 128) VMEM scratch (8 dynamic row reads),
+# after which every slab test / Möller–Trumbore term is a dense (8, 128)
+# op broadcasting the group's (8, 1) row columns against its ray lanes.
+
+
+def _kernel8(rows_ref, leaf_ref, org_ref, dir_ref, tmax_ref,
+             t_ref, slot_ref, u_ref, v_ref, nscr, lscr,
+             *, base, end, leaf_size, k, max_iters):
+    G, L = 8, 128
+    ox = org_ref[0, :].reshape(G, L)
+    oy = org_ref[1, :].reshape(G, L)
+    oz = org_ref[2, :].reshape(G, L)
+    dx = dir_ref[0, :].reshape(G, L)
+    dy = dir_ref[1, :].reshape(G, L)
+    dz = dir_ref[2, :].reshape(G, L)
+
+    def safe_inv(d):
+        return 1.0 / jnp.where(jnp.abs(d) < 1e-30,
+                               jnp.where(d < 0, -1e-30, 1e-30), d)
+
+    ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+
+    def cond(s):
+        cur, it, bt, bs, bu, bv = s
+        return jnp.logical_and(jnp.any(cur < end), it < max_iters)
+
+    def body(s):
+        cur, it, bt, bs, bu, bv = s  # cur (G, 1) i32
+        active = cur < end           # (G, 1)
+        # fetch each group's node row into the scratch tile
+        for g in range(G):
+            j = jnp.minimum(cur[g, 0], end - 1)
+            nscr[g, :] = rows_ref[j]
+        nrow = nscr[:]                                   # (G, 128) f32
+        bits = jax.lax.bitcast_convert_type(nrow, jnp.int32)
+        first = bits[:, 6:7]                             # (G, 1)
+        cnt = bits[:, 7:8] & 0xFF
+        skip = bits[:, 8:9]
+        is_leaf = cnt > 0
+
+        def slab(lo_col, hi_col):
+            lox = (nrow[:, lo_col + 0:lo_col + 1] - ox) * ix
+            loy = (nrow[:, lo_col + 1:lo_col + 2] - oy) * iy
+            loz = (nrow[:, lo_col + 2:lo_col + 3] - oz) * iz
+            hix = (nrow[:, hi_col + 0:hi_col + 1] - ox) * ix
+            hiy = (nrow[:, hi_col + 1:hi_col + 2] - oy) * iy
+            hiz = (nrow[:, hi_col + 2:hi_col + 3] - oz) * iz
+            tmin = jnp.maximum(
+                jnp.maximum(jnp.minimum(lox, hix), jnp.minimum(loy, hiy)),
+                jnp.minimum(loz, hiz),
+            )
+            tmax = jnp.minimum(
+                jnp.minimum(jnp.maximum(lox, hix), jnp.maximum(loy, hiy)),
+                jnp.maximum(loz, hiz),
+            )
+            return tmin, tmax
+
+        tmin, tmax = slab(0, 3)
+        box_hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < bt) & active
+
+        # leaf rows for groups at leaves (others fetch row 0, masked off)
+        for g in range(G):
+            lj = jnp.where((bits[g, 7] & 0xFF) > 0,
+                           bits[g, 6] // leaf_size, 0)
+            lscr[g, :] = leaf_ref[jnp.minimum(lj, leaf_ref.shape[0] - 1)]
+        blk = lscr[:]                                     # (G, 128)
+        leaf_ok = box_hit & is_leaf
+        for l in range(leaf_size):
+            c = l * 9
+            v0x = blk[:, c + 0:c + 1]
+            v0y = blk[:, c + 1:c + 2]
+            v0z = blk[:, c + 2:c + 3]
+            e1x = blk[:, c + 3:c + 4]
+            e1y = blk[:, c + 4:c + 5]
+            e1z = blk[:, c + 5:c + 6]
+            e2x = blk[:, c + 6:c + 7]
+            e2y = blk[:, c + 7:c + 8]
+            e2z = blk[:, c + 8:c + 9]
+            hx = dy * e2z - dz * e2y
+            hy = dz * e2x - dx * e2z
+            hz = dx * e2y - dy * e2x
+            det = e1x * hx + e1y * hy + e1z * hz
+            inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+            sx = ox - v0x
+            sy = oy - v0y
+            sz = oz - v0z
+            uu = (sx * hx + sy * hy + sz * hz) * inv_det
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            vv = (dx * qx + dy * qy + dz * qz) * inv_det
+            tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            got = (
+                leaf_ok
+                & (jnp.abs(det) > 1e-12)
+                & (uu >= 0.0) & (uu <= 1.0)
+                & (vv >= 0.0) & (uu + vv <= 1.0)
+                & (tt > 1e-4)
+                & (tt < bt)
+            )
+            bt = jnp.where(got, tt, bt)
+            bs = jnp.where(got, first + l, bs)
+            bu = jnp.where(got, uu, bu)
+            bv = jnp.where(got, vv, bv)
+
+        # K-way descent per group
+        target = jnp.full((G, L), BIG, jnp.int32)
+        for c in range(k):
+            cb = 9 + 6 * c
+            ctmin, ctmax = slab(cb, cb + 3)
+            cidx = bits[:, 9 + 6 * k + c:9 + 6 * k + c + 1]
+            chit = (
+                (ctmax >= jnp.maximum(ctmin, 0.0))
+                & (ctmin < bt)
+                & (cidx > 0)
+            )
+            target = jnp.where(chit & (cidx < target), cidx, target)
+
+        descend = box_hit & jnp.logical_not(is_leaf)
+        ray_next = jnp.where(descend & (target < BIG), target,
+                             jnp.broadcast_to(skip, (G, L)))
+        nxt = jnp.min(ray_next, axis=1, keepdims=True)   # (G, 1)
+        cur = jnp.where(active, nxt, cur)
+        return cur, it + 1, bt, bs, bu, bv
+
+    t0 = tmax_ref[0, :].reshape(G, L)
+    init = (
+        jnp.full((G, 1), base, jnp.int32), jnp.int32(0), t0,
+        jnp.full((G, L), -1, jnp.int32),
+        jnp.zeros((G, L), jnp.float32),
+        jnp.zeros((G, L), jnp.float32),
+    )
+    _, _, bt, bs, bu, bv = jax.lax.while_loop(cond, body, init)
+    t_ref[0, :] = jnp.where(bs >= 0, bt, vec.INF).reshape(G * L)
+    slot_ref[0, :] = bs.reshape(G * L)
+    u_ref[0, :] = bu.reshape(G * L)
+    v_ref[0, :] = bv.reshape(G * L)
+
+
+def pallas_traverse_wide8(rows, leaf, org, dirn, t_max, base: int, end: int,
+                          leaf_size: int, k: int,
+                          max_iters: int = 262144,
+                          interpret: bool | None = None):
+    """8-packet variant: tile = 8 sublane groups x 128 rays, each group
+    with an independent cursor. Same tables and results as
+    pallas_traverse_wide; faster when 128-ray packets are markedly more
+    coherent than 1024-ray ones (they always are)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    tile = 1024
+    org = jax.lax.stop_gradient(org)
+    dirn = jax.lax.stop_gradient(dirn)
+    r = org.shape[0]
+    tm = jnp.broadcast_to(
+        jax.lax.stop_gradient(jnp.asarray(t_max, jnp.float32)), (r,)
+    )
+    pad = (-r) % tile
+    if pad:
+        org = jnp.concatenate([org, jnp.zeros((pad, 3), org.dtype)])
+        dirn = jnp.concatenate([dirn, jnp.ones((pad, 3), dirn.dtype)])
+        tm = jnp.concatenate([tm, jnp.full((pad,), -vec.INF, jnp.float32)])
+    rp = r + pad
+    n_tiles = rp // tile
+    org_t = org.T.reshape(3, rp)
+    dir_t = dirn.T.reshape(3, rp)
+    tm2 = tm.reshape(1, rp)
+
+    kern = functools.partial(
+        _kernel8, base=int(base), end=int(end), leaf_size=int(leaf_size),
+        k=int(k), max_iters=max_iters,
+    )
+    out_shapes = (
+        jax.ShapeDtypeStruct((1, rp), jnp.float32),
+        jax.ShapeDtypeStruct((1, rp), jnp.int32),
+        jax.ShapeDtypeStruct((1, rp), jnp.float32),
+        jax.ShapeDtypeStruct((1, rp), jnp.float32),
+    )
+    ray_spec = pl.BlockSpec((3, tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    t, slot, u, v = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        out_shape=out_shapes,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # node rows (full)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # leaf rows (full)
+            ray_spec, ray_spec, row_spec,
+        ],
+        out_specs=(row_spec, row_spec, row_spec, row_spec),
+        scratch_shapes=[
+            pltpu.VMEM((8, 128), jnp.float32),
+            pltpu.VMEM((8, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(rows, leaf, org_t, dir_t, tm2)
+    return t[0, :r], slot[0, :r], u[0, :r], v[0, :r]
+
+
+# ---------------------------------------------------------------------------
 # Host-side table packing
 # ---------------------------------------------------------------------------
 

@@ -61,11 +61,20 @@ def main():
         scene.u_rows, scene.leaf_rows, o, d, vec.INF, base, end,
         scene.max_leaf)[0])
 
-    for tile in ((1024, 2048) if on_tpu else (256,)):
-        fp = jax.jit(lambda o, d, t=tile: wk.pallas_traverse_wide(
-            tabs.rows, tabs.leaf, o, d, vec.INF,
-            int(tabs.inst_base[0]), int(tabs.inst_end[0]),
-            tabs.leaf_size, tabs.k, tile=t))
+    variants = [("v1 t1024", lambda o, d: wk.pallas_traverse_wide(
+                    tabs.rows, tabs.leaf, o, d, vec.INF,
+                    int(tabs.inst_base[0]), int(tabs.inst_end[0]),
+                    tabs.leaf_size, tabs.k, tile=1024)),
+                ("v1 t2048", lambda o, d: wk.pallas_traverse_wide(
+                    tabs.rows, tabs.leaf, o, d, vec.INF,
+                    int(tabs.inst_base[0]), int(tabs.inst_end[0]),
+                    tabs.leaf_size, tabs.k, tile=2048)),
+                ("packet8 ", lambda o, d: wk.pallas_traverse_wide8(
+                    tabs.rows, tabs.leaf, o, d, vec.INF,
+                    int(tabs.inst_base[0]), int(tabs.inst_end[0]),
+                    tabs.leaf_size, tabs.k))]
+    for tile, pf in (variants if on_tpu else variants[:1]):
+        fp = jax.jit(pf)
         for lab, o, d in (("coh", org_c, dir_c), ("inc", org_i, d_i)):
             try:
                 t, slot, u, v = fp(o, d)

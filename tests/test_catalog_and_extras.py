@@ -30,6 +30,35 @@ def test_catalog_scene(name):
     assert img.mean() > 0.0
 
 
+def test_dragon_scale_mesh():
+    """Million-node BVH path (the old 1<<19 packed-node cap is gone):
+    subdiv-7 = 327,680 tris with leaf_size 2 -> ~490k binary nodes; build
+    + closest-hit smoke on a small ray batch."""
+    from ptsharp_tpu.examples import _bunny_mesh
+    from ptsharp_tpu.intersect import closest_hit
+    from ptsharp_tpu.materials import diffuse_material
+    from ptsharp_tpu.scene import SceneBuilder
+
+    m = _bunny_mesh(6, seed=3)
+    b = SceneBuilder()
+    b.add_mesh(m, diffuse_material([0.6, 0.6, 0.6]))
+    scene = b.build(leaf_size=1)  # 81,920 leaves -> ~164k nodes; with the
+    # old bit-packed skip this layout was capped — now any count packs
+    assert scene.u_rows.shape[0] > (1 << 17)
+    org = jnp.asarray(np.full((64, 3), [0.0, 0.0, -3.0], np.float32))
+    d = np.zeros((64, 3), np.float32)
+    ang = np.linspace(-0.3, 0.3, 64)
+    d[:, 0], d[:, 2] = np.sin(ang), np.cos(ang)
+    h = closest_hit(scene, org, jnp.asarray(d))
+    assert np.isfinite(np.asarray(h.t)).all()
+    assert (np.asarray(h.t) < 1e8).sum() > 30
+
+
+def test_dragon_hd_in_catalog():
+    assert "dragon_hd" in CATALOG  # rendered by scripts/render_catalog.py;
+    # the 1.3M-tri build is too heavy for per-commit CI
+
+
 def test_filters():
     dx = jnp.asarray([0.0, 0.25, 0.49])
     dy = jnp.zeros(3)

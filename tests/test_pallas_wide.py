@@ -58,6 +58,26 @@ def test_wide_pallas_matches_walk_raw():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_wide_pallas8_matches_walk():
+    sp = _builder().build(leaf_size=8, intersector="pallas", wide_k=8)
+    org, d = _rays(1024 + 128, seed=11)  # padding path too
+    from ptsharp_tpu.accel.traverse import traverse_packed
+
+    t_ref, s_ref, u_ref, _ = traverse_packed(
+        sp.u_rows, sp.leaf_rows, org, d, vec.INF,
+        int(sp.u_inst_base[0]), int(sp.u_inst_end[0]), sp.max_leaf)
+    t, s, u, v = wk.pallas_traverse_wide8(
+        sp.p_rows, sp.p_leaf, org, d, vec.INF,
+        sp.p_inst_base[0], sp.p_inst_end[0], sp.max_leaf, sp.wide_k)
+    np.testing.assert_allclose(np.asarray(t), np.asarray(t_ref),
+                               rtol=1e-5, atol=1e-5)
+    hit = np.asarray(t_ref) < 1e8
+    assert hit.sum() > 100
+    np.testing.assert_array_equal(np.asarray(s)[hit], np.asarray(s_ref)[hit])
+    np.testing.assert_allclose(np.asarray(u)[hit], np.asarray(u_ref)[hit],
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_wide_pallas_dispatch_multimesh():
     org, d = _rays(384, seed=2)  # not a tile multiple -> padding path
     sw = _builder(two_meshes=True).build(leaf_size=8, use_tlas=False)
