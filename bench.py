@@ -13,14 +13,19 @@ Configs:
   cornell  — BASELINE config #2 (area-light NEE, specular/refractive
              spheres); analytic primitives only.
   bunny    — BASELINE config #3: 81,920-triangle textured mesh, flattened
-             BVH traversal (the hottest kernel).
+             BVH traversal (the hottest kernel). Uses the 8-packet Pallas
+             traversal kernel (pallas/wide_kernel.py) with XLA-walk
+             fallbacks.
   grad     — forward+backward differentiable render step (north star:
              "forward+backward kernels at speed-of-light per chip").
 
-Chunks cycle over *distinct* pixel blocks so the whole image contributes
-(no fixed-row re-tracing); a warmup pass excludes compile time. Chunks are
-dispatched without per-chunk blocking so device work pipelines — the
-renderer drives the device the same way.
+COMPILE RELIABILITY (scripts/exp_sigill2.py): fusing camera ray-gen + RNG
+into the same jit program as a mesh trace SIGILLs this image's tunnel
+compile helper at every wavefront size; with ray-gen in its OWN jit
+program every size compiles. Mesh configs therefore split the two
+programs, and every config walks a fallback ladder of (intersector,
+chunk-size) shapes so a compile failure degrades to a smaller recorded
+number instead of an error row.
 """
 
 from __future__ import annotations
@@ -41,26 +46,72 @@ def _pixel_chunk(ci, pix_per_chunk, width, height):
     return xs % width, xs // width
 
 
+def _morton_pixel_order(width, height):
+    """Pixel indices in 2D-Morton order: every 1024-ray traversal packet
+    covers a compact ~32x32 pixel block instead of a thin scanline strip
+    (smaller BVH visit-unions; +50% measured, scripts/exp_rayorder.py)."""
+    import numpy as np
+
+    x = np.arange(width, dtype=np.uint64)[None, :]
+    y = np.arange(height, dtype=np.uint64)[:, None]
+
+    def ex(v):
+        v = (v | (v << 16)) & np.uint64(0x0000FFFF0000FFFF)
+        v = (v | (v << 8)) & np.uint64(0x00FF00FF00FF00FF)
+        v = (v | (v << 4)) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        v = (v | (v << 2)) & np.uint64(0x3333333333333333)
+        v = (v | (v << 1)) & np.uint64(0x5555555555555555)
+        return v
+
+    key = (ex(x) | (ex(y) << np.uint64(1))).reshape(-1)
+    return jnp.asarray(np.argsort(key, kind="stable").astype(np.int32))
+
+
 def run_scene(name, width=1920, height=1080, spp=64, max_measured_chunks=16,
-              **scene_kw):
+              shift=20, split_raygen=False, **scene_kw):
     from ptsharp_tpu import examples
     from ptsharp_tpu.integrator import trace
 
     scene, cam, _rcfg, icfg = examples.build(name, **scene_kw)
+    pix_per_chunk = 1 << shift
 
-    pix_per_chunk = 1 << 20
+    if split_raygen:
+        morder = _morton_pixel_order(width, height)
 
-    @jax.jit
-    def render_chunk(key, pix_x, pix_y):
-        r = pix_x.shape[0]
-        kj, kt = jax.random.split(key)
-        ju, jv = jax.random.uniform(kj, (2, r))
-        org, dirn = cam.cast_rays(pix_x, pix_y, width, height, ju, jv)
-        result = trace(scene, icfg, org, dirn, kt)
-        return jnp.sum(result.radiance), result.rays_traced
+        @jax.jit
+        def gen(key, ci):
+            kj, kt = jax.random.split(key)
+            start = (ci * pix_per_chunk) % (width * height)
+            xs = (start + jnp.arange(pix_per_chunk, dtype=jnp.int32)) \
+                % (width * height)
+            xs = morder[xs]
+            px, py = xs % width, xs // width
+            ju, jv = jax.random.uniform(kj, (2, pix_per_chunk))
+            org, dirn = cam.cast_rays(px, py, width, height, ju, jv)
+            return org, dirn, kt
 
-    px0, py0 = _pixel_chunk(0, pix_per_chunk, width, height)
-    out = render_chunk(jax.random.PRNGKey(999), px0, py0)
+        @jax.jit
+        def tr(org, dirn, kt):
+            result = trace(scene, icfg, org, dirn, kt)
+            return jnp.sum(result.radiance), result.rays_traced
+
+        def render_chunk(key, ci):
+            org, dirn, kt = gen(key, jnp.int32(ci))
+            return tr(org, dirn, kt)
+    else:
+        @jax.jit
+        def render_chunk(key, ci):
+            kj, kt = jax.random.split(key)
+            start = (ci * pix_per_chunk) % (width * height)
+            xs = (start + jnp.arange(pix_per_chunk, dtype=jnp.int32)) \
+                % (width * height)
+            px, py = xs % width, xs // width
+            ju, jv = jax.random.uniform(kj, (2, pix_per_chunk))
+            org, dirn = cam.cast_rays(px, py, width, height, ju, jv)
+            result = trace(scene, icfg, org, dirn, kt)
+            return jnp.sum(result.radiance), result.rays_traced
+
+    out = render_chunk(jax.random.PRNGKey(999), 0)
     jax.block_until_ready(out)
 
     total_rays_primary = width * height * spp
@@ -69,8 +120,7 @@ def run_scene(name, width=1920, height=1080, spp=64, max_measured_chunks=16,
     t0 = time.time()
     outs = []
     for i in range(measured):
-        px, py = _pixel_chunk(i, pix_per_chunk, width, height)
-        _s, traced = render_chunk(jax.random.PRNGKey(i), px, py)
+        _s, traced = render_chunk(jax.random.PRNGKey(i), i)
         outs.append(traced)
     total_traced = sum(int(t) for t in outs)  # blocks once at the end
     dt = time.time() - t0
@@ -117,24 +167,62 @@ def run_grad(width=640, height=360, chunks=8):
     return total / dt / 1e6
 
 
-def main():
-    results = []
-    for metric, fn in [
-        ("Mrays_per_s_per_chip_cornell_1080p", lambda: run_scene("cornell")),
-        ("Mrays_per_s_per_chip_bunny82k_1080p",
-         lambda: run_scene("bunny", max_measured_chunks=6)),
-        ("Mrays_per_s_fwd_bwd_cornell", run_grad),
-    ]:
+def run_ladder(ladder):
+    """Try benchmark shapes in order; return the first that runs, tagging
+    the result with the shape that produced it."""
+    last_err = None
+    for label, fn in ladder:
         try:
-            mrays = fn()
-            results.append(
-                {
-                    "metric": metric,
-                    "value": round(mrays, 2),
-                    "unit": "Mrays/s",
-                    "vs_baseline": round(mrays / BASELINE_MRAYS_PER_CHIP, 3),
-                }
-            )
+            return fn(), label, last_err
+        except Exception as e:  # noqa: BLE001 — record and fall through
+            last_err = f"{label}: {str(e)[:120]}"
+    raise RuntimeError(last_err or "empty ladder")
+
+
+def main():
+    jobs = [
+        (
+            "Mrays_per_s_per_chip_cornell_1080p",
+            [
+                ("cornell/1M", lambda: run_scene("cornell")),
+                ("cornell/256k", lambda: run_scene("cornell", shift=18)),
+            ],
+        ),
+        (
+            "Mrays_per_s_per_chip_bunny82k_1080p",
+            [
+                ("bunny/pallas8/256k", lambda: run_scene(
+                    "bunny", shift=18, max_measured_chunks=8,
+                    split_raygen=True, intersector="pallas", wide_k=8)),
+                ("bunny/wide/256k", lambda: run_scene(
+                    "bunny", shift=18, max_measured_chunks=8,
+                    split_raygen=True)),
+                ("bunny/wide/64k", lambda: run_scene(
+                    "bunny", shift=16, max_measured_chunks=8,
+                    split_raygen=True)),
+            ],
+        ),
+        (
+            "Mrays_per_s_fwd_bwd_cornell",
+            [
+                ("grad/256k", run_grad),
+            ],
+        ),
+    ]
+    results = []
+    for metric, ladder in jobs:
+        try:
+            mrays, shape, warn = run_ladder(ladder)
+            row = {
+                "metric": metric,
+                "value": round(mrays, 2),
+                "unit": "Mrays/s",
+                "vs_baseline": round(mrays / BASELINE_MRAYS_PER_CHIP, 3),
+                "shape": shape,
+            }
+            if warn:
+                row["fallback_from"] = warn
+            results.append(row)
         except Exception as e:  # pragma: no cover
             results.append({"metric": metric, "error": str(e)[:200]})
     for r in results:

@@ -214,7 +214,14 @@ def sample_lights(scene: SceneData, cfg: IntegratorConfig, position, normal,
             vec.length(point - position) * 1.001 + 1e-3,
             hyp0 + 2.0 * radius + 1e-3,
         )
-        shadow_hit = closest_hit(scene, position, ray_dir, t_max=shadow_tmax)
+        # shadow rays sort like bounce rays (mesh scenes): origins are
+        # scattered surface points, directions cluster toward the light
+        if cfg.sort_bounces and scene.inst_inv.shape[0] > 0:
+            shadow_hit = _sorted_closest_hit(scene, position, ray_dir,
+                                             t_max=shadow_tmax)
+        else:
+            shadow_hit = closest_hit(scene, position, ray_dir,
+                                     t_max=shadow_tmax)
         shadow_hit = Hit(*(checkpoint_name(f, "hit")
                            for f in shadow_hit))
         idx_match = jnp.where(
@@ -351,13 +358,19 @@ def _remat_policy(cfg: IntegratorConfig):
     return None
 
 
-def _sorted_closest_hit(scene: SceneData, org, dirn):
+def _sorted_closest_hit(scene: SceneData, org, dirn, t_max=None):
     """Closest-hit with the wavefront permuted into Morton/octant order so
     traversal chunks are coherent; the hit record is scattered back to the
     caller's lane order. Pure detached permutation — estimator unchanged."""
     mk = _morton_key(org, dirn)
     perm = jnp.argsort(mk)
-    hit = closest_hit(scene, org[perm], dirn[perm])
+    tm = None
+    if t_max is not None:
+        tm = jnp.broadcast_to(
+            jax.lax.stop_gradient(jnp.asarray(t_max, jnp.float32)),
+            (org.shape[0],)
+        )[perm]
+    hit = closest_hit(scene, org[perm], dirn[perm], t_max=tm)
     inv = jnp.argsort(perm)
     return Hit(*(f[inv] for f in hit))
 

@@ -449,9 +449,11 @@ def closest_hit(scene: SceneData, org, dirn, t_max=None) -> Hit:
                     scene.u_inst_base[i], scene.u_inst_end[i], scene.max_leaf,
                 )
             elif scene.intersector == "pallas":
+                # 8-packet sublane kernel: the fastest measured variant on
+                # both coherent and sorted-bounce rays (BASELINE.md)
                 from ptsharp_tpu.pallas import wide_kernel as wk
 
-                t, slot, u, v = wk.pallas_traverse_wide(
+                t, slot, u, v = wk.pallas_traverse_wide8(
                     scene.p_rows, scene.p_leaf, o, d, best_t,
                     scene.p_inst_base[i], scene.p_inst_end[i],
                     scene.max_leaf, scene.wide_k,

@@ -11,13 +11,12 @@ coherent (primary/shadow rays, or bounce rays after Morton sorting) and
 loses when a tile's rays diverge; the dispatcher in intersect.py keeps the
 gather-based walk as the general path. Full measurements: BASELINE.md.
 
-Status on this image's remote-compile tunnel: the kernel compiles and
-matches the packed walk bit-for-bit on the real chip for small scenes
-(~1-2k triangles); at 82k-triangle scale the tunnel's AOT compile helper
-exits 1 without a Mosaic diagnostic (tables total 4.7 MB — within VMEM —
-so this is an infra ceiling, not a VMEM overflow we can see). Interpret-
-mode parity tests cover the kernel logic; the XLA walk remains the default
-dispatch until the compiler path handles full-size tables.
+SUPERSEDED by pallas/wide_kernel.py (the production `intersector="pallas"`
+path). This kernel's (N, 10) node table is lane-padded by Mosaic to
+(N, 128) — a silent 12.8x VMEM inflation that made 82k-triangle compiles
+fail. The wide kernel makes the 128-lane row explicit (and fills it with
+K child boxes), fixing the scale ceiling; this file is kept as the
+minimal binary-row formulation with its interpret-mode parity tests.
 """
 
 from __future__ import annotations

@@ -319,50 +319,60 @@ def _kernel8(rows_ref, leaf_ref, org_ref, dir_ref, tmax_ref,
         tmin, tmax = slab(0, 3)
         box_hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < bt) & active
 
-        # leaf rows for groups at leaves (others fetch row 0, masked off)
-        for g in range(G):
-            lj = jnp.where((bits[g, 7] & 0xFF) > 0,
-                           bits[g, 6] // leaf_size, 0)
-            lscr[g, :] = leaf_ref[jnp.minimum(lj, leaf_ref.shape[0] - 1)]
-        blk = lscr[:]                                     # (G, 128)
+        # leaf phase, skipped entirely when NO group sits at a hit leaf
+        # (group depths are correlated, so whole iterations often have
+        # none — the Möller–Trumbore unroll is the iteration's main cost)
         leaf_ok = box_hit & is_leaf
-        for l in range(leaf_size):
-            c = l * 9
-            v0x = blk[:, c + 0:c + 1]
-            v0y = blk[:, c + 1:c + 2]
-            v0z = blk[:, c + 2:c + 3]
-            e1x = blk[:, c + 3:c + 4]
-            e1y = blk[:, c + 4:c + 5]
-            e1z = blk[:, c + 5:c + 6]
-            e2x = blk[:, c + 6:c + 7]
-            e2y = blk[:, c + 7:c + 8]
-            e2z = blk[:, c + 8:c + 9]
-            hx = dy * e2z - dz * e2y
-            hy = dz * e2x - dx * e2z
-            hz = dx * e2y - dy * e2x
-            det = e1x * hx + e1y * hy + e1z * hz
-            inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
-            sx = ox - v0x
-            sy = oy - v0y
-            sz = oz - v0z
-            uu = (sx * hx + sy * hy + sz * hz) * inv_det
-            qx = sy * e1z - sz * e1y
-            qy = sz * e1x - sx * e1z
-            qz = sx * e1y - sy * e1x
-            vv = (dx * qx + dy * qy + dz * qz) * inv_det
-            tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-            got = (
-                leaf_ok
-                & (jnp.abs(det) > 1e-12)
-                & (uu >= 0.0) & (uu <= 1.0)
-                & (vv >= 0.0) & (uu + vv <= 1.0)
-                & (tt > 1e-4)
-                & (tt < bt)
-            )
-            bt = jnp.where(got, tt, bt)
-            bs = jnp.where(got, first + l, bs)
-            bu = jnp.where(got, uu, bu)
-            bv = jnp.where(got, vv, bv)
+        any_leaf = jnp.any(leaf_ok)
+
+        def do_leaf(args):
+            bt, bs, bu, bv = args
+            for g in range(G):
+                lj = jnp.where((bits[g, 7] & 0xFF) > 0,
+                               bits[g, 6] // leaf_size, 0)
+                lscr[g, :] = leaf_ref[jnp.minimum(lj, leaf_ref.shape[0] - 1)]
+            blk = lscr[:]                                 # (G, 128)
+            for l in range(leaf_size):
+                c = l * 9
+                v0x = blk[:, c + 0:c + 1]
+                v0y = blk[:, c + 1:c + 2]
+                v0z = blk[:, c + 2:c + 3]
+                e1x = blk[:, c + 3:c + 4]
+                e1y = blk[:, c + 4:c + 5]
+                e1z = blk[:, c + 5:c + 6]
+                e2x = blk[:, c + 6:c + 7]
+                e2y = blk[:, c + 7:c + 8]
+                e2z = blk[:, c + 8:c + 9]
+                hx = dy * e2z - dz * e2y
+                hy = dz * e2x - dx * e2z
+                hz = dx * e2y - dy * e2x
+                det = e1x * hx + e1y * hy + e1z * hz
+                inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+                sx = ox - v0x
+                sy = oy - v0y
+                sz = oz - v0z
+                uu = (sx * hx + sy * hy + sz * hz) * inv_det
+                qx = sy * e1z - sz * e1y
+                qy = sz * e1x - sx * e1z
+                qz = sx * e1y - sy * e1x
+                vv = (dx * qx + dy * qy + dz * qz) * inv_det
+                tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                got = (
+                    leaf_ok
+                    & (jnp.abs(det) > 1e-12)
+                    & (uu >= 0.0) & (uu <= 1.0)
+                    & (vv >= 0.0) & (uu + vv <= 1.0)
+                    & (tt > 1e-4)
+                    & (tt < bt)
+                )
+                bt = jnp.where(got, tt, bt)
+                bs = jnp.where(got, first + l, bs)
+                bu = jnp.where(got, uu, bu)
+                bv = jnp.where(got, vv, bv)
+            return bt, bs, bu, bv
+
+        bt, bs, bu, bv = jax.lax.cond(any_leaf, do_leaf, lambda a: a,
+                                      (bt, bs, bu, bv))
 
         # K-way descent per group
         target = jnp.full((G, L), BIG, jnp.int32)
