@@ -127,15 +127,16 @@ def run_scene(name, width=1920, height=1080, spp=64, max_measured_chunks=16,
     return total_traced / dt / 1e6
 
 
-def run_grad(width=640, height=360, chunks=8):
+def run_grad(width=1920, height=1080, chunks=8):
     """Forward+backward Mrays/s: gradient of the mean image luminance w.r.t.
     the material table (the differentiable train-step shape of
-    parallel/shard.py)."""
+    parallel/shard.py). 1M-ray chunks dispatched without blocking — the
+    same pipelining the fwd-only metric gets."""
     from ptsharp_tpu import examples
     from ptsharp_tpu.integrator import trace
 
     scene, cam, _rcfg, icfg = examples.build("cornell")
-    pix_per_chunk = 1 << 18
+    pix_per_chunk = 1 << 20
 
     from dataclasses import replace
 

@@ -70,9 +70,12 @@ class IntegratorConfig:
     remat: bool = True
     # "hits": save the per-bounce hit records (6 scalars/ray — tiny) as
     # named checkpoint residuals so the backward rematerializes shading
-    # but NOT the closest-hit traversal (the dominant forward cost);
-    # "full": save nothing, re-run everything.
-    remat_policy: str = "hits"
+    # but NOT the closest-hit traversal; "full": save nothing, re-run
+    # everything. Measured on cornell fwd+bwd (scripts/exp_grad2.py):
+    # full 18.9 / hits 17.1 / remat off 16.3 Mrays/s — XLA's own recompute
+    # scheduling beats pinning the hit residuals, so "full" is default;
+    # "hits" wins when traversal dominates (large mesh scenes).
+    remat_policy: str = "full"
     # sort each scanned bounce's wavefront by direction-octant + origin
     # Morton before closest-hit (results scattered back): bounce rays are
     # incoherent, and both the chunked XLA walks and the Pallas packet

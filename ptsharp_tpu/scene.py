@@ -727,6 +727,20 @@ class SceneBuilder:
         # TLAS head), one node per 128-lane row; leaf rows lane-padded the
         # same way. Slot indices are the scene's (identity slot map).
         if intersector == "pallas":
+            n_rows_est = sum(w.bmin.shape[0] for w in mesh_wide) \
+                + leaf_rows.shape[0]
+            if n_rows_est * 128 * 4 > 12 * 1024 * 1024:
+                # tables must be VMEM-resident alongside the ray tiles;
+                # beyond the budget fall back to the K-wide XLA walk
+                import warnings
+
+                warnings.warn(
+                    f"pallas intersector: tables ~{n_rows_est * 512 // 2**20}"
+                    " MB exceed the VMEM budget; falling back to 'wide'",
+                    stacklevel=2,
+                )
+                intersector = "wide"
+        if intersector == "pallas":
             p_parts = []
             p_range = []
             p_off = 0

@@ -139,6 +139,25 @@ def test_wide_pallas_render_smoke():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_pallas_vmem_fallback():
+    """Oversized meshes fall back to the wide walk with a warning instead
+    of failing at kernel compile (tables must be VMEM-resident)."""
+    import warnings
+
+    from ptsharp_tpu.geometry.mesh import sphere_mesh
+    from ptsharp_tpu.materials import diffuse_material
+    from ptsharp_tpu.scene import SceneBuilder
+
+    b2 = SceneBuilder()
+    b2.add_mesh(sphere_mesh([0, 0, 0], 1.0, subdivisions=6),
+                diffuse_material([0.5, 0.5, 0.5]))  # 81,920 tris
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        s2 = b2.build(leaf_size=1, intersector="pallas", wide_k=8)
+    assert s2.intersector == "wide"
+    assert any("VMEM budget" in str(x.message) for x in w2)
+
+
 def test_pallas_tables_budget():
     sp = _builder().build(leaf_size=8, intersector="pallas", wide_k=8)
     from ptsharp_tpu.pallas.wide_kernel import PallasTables, fits_vmem
