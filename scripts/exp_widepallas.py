@@ -25,10 +25,6 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     name = "bunny" if on_tpu else "teapot"
     scene, cam, _r, _i = examples.build(name)
-    n_tri = int(np.sum(np.asarray(scene.tri_mat) >= 0))
-    # instance 0 slots: all real slots (single-mesh scenes)
-    slots = np.nonzero(np.asarray(scene.leaf_rows).reshape(-1, 9)[:, :].any(axis=1)
-                       if False else np.ones(1))  # placeholder
     # real slots = those with a nonzero triangle (pad slots are zero rows)
     v0 = np.asarray(scene.tri_v0)
     e1 = np.asarray(scene.tri_e1)
