@@ -82,6 +82,25 @@ class Renderer:
         cfg = self.config
         icfg = self.integrator
 
+        def pixel_perm(row0, rows: int, w: int):
+            """2D-Morton order of the chunk's pixels: traversal packets
+            then cover compact ~32x32 pixel blocks instead of scanline
+            strips (+50% measured on mesh scenes,
+            scripts/exp_rayorder.py)."""
+            ys = (row0 + jnp.arange(rows, dtype=jnp.uint32))[:, None]
+            xs = jnp.arange(w, dtype=jnp.uint32)[None, :]
+
+            def ex(v):
+                v = (v | (v << 8)) & jnp.uint32(0x00FF00FF)
+                v = (v | (v << 4)) & jnp.uint32(0x0F0F0F0F)
+                v = (v | (v << 2)) & jnp.uint32(0x33333333)
+                v = (v | (v << 1)) & jnp.uint32(0x55555555)
+                return v
+
+            mkey = ex(xs) | (ex(ys) << jnp.uint32(1))
+            perm = jnp.argsort(mkey.reshape(-1))
+            return perm, jnp.argsort(perm)
+
         def raygen(scene: SceneData, camera: Camera, key, row0, rows: int,
                    spp: int):
             w = cfg.width
@@ -116,13 +135,33 @@ class Renderer:
                 if n_strat > 1
                 else None
             )
-            return org, dirn, kt, sidx2, ju, jv
+            if scene.inst_inv.shape[0] > 0:  # static: mesh scenes only
+                perm, inv = pixel_perm(row0, rows, w)
 
-        def film_accumulate(result, ju, jv, rows: int, spp: int, weight_rows):
+                def shuf(a):
+                    s = a.reshape((spp, rows * w) + a.shape[1:])
+                    return s[:, perm].reshape(a.shape)
+
+                org, dirn = shuf(org), shuf(dirn)
+                if sidx2 is not None:
+                    sidx2 = shuf(sidx2)
+            else:
+                inv = None
+            return org, dirn, kt, sidx2, ju, jv, inv
+
+        def film_accumulate(result, ju, jv, rows: int, spp: int, weight_rows,
+                            inv=None):
             w = cfg.width
-            radiance = result.radiance.reshape(spp, rows, w, 3)
-            albedo = result.albedo.reshape(spp, rows, w, 3)
-            normal = result.normal.reshape(spp, rows, w, 3)
+
+            def unshuf(a):
+                if inv is None:
+                    return a
+                s = a.reshape((spp, rows * w) + a.shape[1:])
+                return s[:, inv].reshape(a.shape)
+
+            radiance = unshuf(result.radiance).reshape(spp, rows, w, 3)
+            albedo = unshuf(result.albedo).reshape(spp, rows, w, 3)
+            normal = unshuf(result.normal).reshape(spp, rows, w, 3)
             chunk = Film.zeros(rows, w)
             if weight_rows is None:
                 weight = jnp.ones((spp, rows, w), jnp.float32)
@@ -141,12 +180,13 @@ class Renderer:
             """Render `spp` samples for image rows [row0, row0+rows).
             weight_rows: (spp, rows, W) 0/1 mask for adaptive passes (or
             None). Returns per-chunk Film stats + ray count."""
-            org, dirn, kt, sidx2, ju, jv = raygen(
+            org, dirn, kt, sidx2, ju, jv, inv = raygen(
                 scene, camera, key, row0, rows, spp
             )
             n_strat = max(1, int(np.sqrt(spp))) if cfg.stratified else 1
             result = trace(scene, icfg, org, dirn, kt, sidx2, n_strat)
-            return film_accumulate(result, ju, jv, rows, spp, weight_rows)
+            return film_accumulate(result, ju, jv, rows, spp, weight_rows,
+                                   inv)
 
         self._chunk_fn = jax.jit(
             render_chunk, static_argnames=("rows", "spp"),
@@ -160,13 +200,13 @@ class Renderer:
 
             def compacted_chunk(scene, camera, key, row0, rows, spp,
                                 weight_rows):
-                org, dirn, kt, sidx2, ju, jv = raygen_j(
+                org, dirn, kt, sidx2, ju, jv, inv = raygen_j(
                     scene, camera, key, row0, rows, spp
                 )
                 n_strat = max(1, int(np.sqrt(spp))) if cfg.stratified else 1
                 result = trace_compacted_static(scene, icfg, org, dirn, kt,
                                                 sidx2, n_strat)
-                return film_j(result, ju, jv, rows, spp, weight_rows)
+                return film_j(result, ju, jv, rows, spp, weight_rows, inv)
 
             self._chunk_fn = compacted_chunk
 

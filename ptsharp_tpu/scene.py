@@ -729,7 +729,9 @@ class SceneBuilder:
         if intersector == "pallas":
             n_rows_est = sum(w.bmin.shape[0] for w in mesh_wide) \
                 + leaf_rows.shape[0]
-            if n_rows_est * 128 * 4 > 12 * 1024 * 1024:
+            # measured ceiling (scripts/exp_vmem_ceiling.py): 16.6 MB
+            # compiles + runs, 40 MB fails — 17 MB is the known-good edge
+            if n_rows_est * 128 * 4 > 17 * 1024 * 1024:
                 # tables must be VMEM-resident alongside the ray tiles;
                 # beyond the budget fall back to the K-wide XLA walk
                 import warnings
