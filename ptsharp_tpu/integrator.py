@@ -36,8 +36,17 @@ import jax.numpy as jnp
 from jax.ad_checkpoint import checkpoint_name
 
 from ptsharp_tpu.core import sampling, vec
-from ptsharp_tpu.intersect import Hit, HitInfo, closest_hit, hit_info
-from ptsharp_tpu.scene import PT_NONE, PT_TRIANGLE, SceneData
+from ptsharp_tpu.intersect import (
+    Hit, HitInfo, closest_hit, hit_info, light_hit_t, occlusion_query,
+)
+from ptsharp_tpu.scene import (
+    PT_CUBE, PT_CYLINDER, PT_NONE, PT_SPHERE, PT_TRIANGLE, SceneData,
+)
+
+# light types whose own hit distance is analytic (enables the any-hit
+# occlusion shadow path — a boolean early-exit query instead of a full
+# closest-hit that must land on the light)
+_ANALYTIC_LIGHT_TYPES = (PT_SPHERE, PT_CUBE, PT_CYLINDER, PT_TRIANGLE)
 
 LIGHT_MODE_RANDOM = "random"  # one random light x nLights (Sampler.cs:205-209)
 LIGHT_MODE_ALL = "all"  # average over all lights (Sampler.cs:198-204)
@@ -82,6 +91,20 @@ class IntegratorConfig:
     # kernels traverse coherent chunks several times faster than the
     # argsort costs. Primary rays (depth 0) are image-ordered already.
     sort_bounces: bool = True
+    # NEE shadow rays as boolean any-hit occlusion queries (early-exit
+    # Pallas kernel on mesh scenes) instead of closest-hit-must-be-the-
+    # light. Identical estimator up to epsilon placement; requires every
+    # light's own hit distance to be analytic (sphere/cube/cylinder
+    # primitives or sampled mesh triangles) — auto-falls back otherwise.
+    anyhit_shadows: bool = True
+
+    def __post_init__(self):
+        assert self.remat_policy in ("full", "hits"), self.remat_policy
+        assert self.light_mode in (LIGHT_MODE_RANDOM, LIGHT_MODE_ALL), \
+            self.light_mode
+        assert self.specular_mode in (
+            SPECULAR_MODE_NAIVE, SPECULAR_MODE_FIRST, SPECULAR_MODE_ALL
+        ), self.specular_mode
 
 
 class RayState(NamedTuple):
@@ -209,42 +232,71 @@ def sample_lights(scene: SceneData, cfg: IntegratorConfig, position, normal,
         cos_t = vec.dot(ray_dir, normal)
         facing = cos_t > 0.0
 
-        # bound the shadow search at the light: traversal prunes everything
-        # behind it (the light itself must still register, hence the slack)
-        hyp0 = vec.length(center - position)
-        shadow_tmax = jnp.where(
-            is_tri,
-            vec.length(point - position) * 1.001 + 1e-3,
-            hyp0 + 2.0 * radius + 1e-3,
+        use_anyhit = (
+            cfg.anyhit_shadows
+            and len(scene.light_types) > 0
+            and all(t in _ANALYTIC_LIGHT_TYPES for t in scene.light_types)
         )
-        # shadow rays sort like bounce rays (mesh scenes): origins are
-        # scattered surface points, directions cluster toward the light
-        if cfg.sort_bounces and scene.inst_inv.shape[0] > 0:
-            shadow_hit = _sorted_closest_hit(scene, position, ray_dir,
-                                             t_max=shadow_tmax)
+        if use_anyhit:
+            # visibility = "the ray reaches the light's own surface": its
+            # analytic hit distance t_light (INF = grazing miss), minus a
+            # margin so the light never self-occludes, bounds a boolean
+            # any-hit query (Sampler.cs:261-265 semantics; the early-exit
+            # kernel makes shadow traversal much cheaper than closest-hit)
+            t_light = light_hit_t(scene, position, ray_dir, lidx)
+            if PT_TRIANGLE in scene.light_types:
+                t_light = jnp.where(
+                    is_tri, vec.length(point - position), t_light
+                )
+            t_hit = t_light < vec.INF
+            t_cut = t_light * (1.0 - 1e-3) - 1e-3
+            # lanes that face away or miss the light skip traversal
+            t_cut = jnp.where(facing & t_hit, t_cut, -vec.INF)
+            if cfg.sort_bounces and scene.inst_inv.shape[0] > 0:
+                occ = _sorted_occlusion(scene, position, ray_dir, t_cut)
+            else:
+                occ = occlusion_query(scene, position, ray_dir, t_cut)
+            occ = checkpoint_name(occ, "hit")
+            visible = t_hit & ~occ
         else:
-            shadow_hit = closest_hit(scene, position, ray_dir,
-                                     t_max=shadow_tmax)
-        shadow_hit = Hit(*(checkpoint_name(f, "hit")
-                           for f in shadow_hit))
-        idx_match = jnp.where(
-            is_tri,
-            shadow_hit.inst == scene.light_pindex[lidx],
-            shadow_hit.pindex == scene.light_pindex[lidx],
-        )
-        if has_em:
-            # per-tri Ke meshes: the shadow ray must land on an *emissive*
-            # triangle of the light instance, not just any of its triangles
-            hp = jnp.maximum(shadow_hit.pindex, 0)
-            hover = scene.inst_mat[jnp.maximum(shadow_hit.inst, 0)]
-            htm = jnp.where(hover >= 0, hover, scene.tri_mat[hp])
-            hit_emissive = scene.materials.emittance[htm] > 0.0
-            idx_match = idx_match & (~is_tri | hit_emissive)
-        visible = (
-            (shadow_hit.ptype == scene.light_ptype[lidx])
-            & idx_match
-            & (shadow_hit.t < vec.INF)
-        )
+            # bound the shadow search at the light: traversal prunes
+            # everything behind it (the light itself must still register,
+            # hence the slack)
+            hyp0 = vec.length(center - position)
+            shadow_tmax = jnp.where(
+                is_tri,
+                vec.length(point - position) * 1.001 + 1e-3,
+                hyp0 + 2.0 * radius + 1e-3,
+            )
+            # shadow rays sort like bounce rays (mesh scenes): origins are
+            # scattered surface points, directions cluster toward the light
+            if cfg.sort_bounces and scene.inst_inv.shape[0] > 0:
+                shadow_hit = _sorted_closest_hit(scene, position, ray_dir,
+                                                 t_max=shadow_tmax)
+            else:
+                shadow_hit = closest_hit(scene, position, ray_dir,
+                                         t_max=shadow_tmax)
+            shadow_hit = Hit(*(checkpoint_name(f, "hit")
+                               for f in shadow_hit))
+            idx_match = jnp.where(
+                is_tri,
+                shadow_hit.inst == scene.light_pindex[lidx],
+                shadow_hit.pindex == scene.light_pindex[lidx],
+            )
+            if has_em:
+                # per-tri Ke meshes: the shadow ray must land on an
+                # *emissive* triangle of the light instance, not just any
+                # of its triangles
+                hp = jnp.maximum(shadow_hit.pindex, 0)
+                hover = scene.inst_mat[jnp.maximum(shadow_hit.inst, 0)]
+                htm = jnp.where(hover >= 0, hover, scene.tri_mat[hp])
+                hit_emissive = scene.materials.emittance[htm] > 0.0
+                idx_match = idx_match & (~is_tri | hit_emissive)
+            visible = (
+                (shadow_hit.ptype == scene.light_ptype[lidx])
+                & idx_match
+                & (shadow_hit.t < vec.INF)
+            )
 
         # solid-angle "coverage" ~ r^2/d^2 capped at 1 (Sampler.cs:277-289;
         # the asin/tan chain there reduces to R^2/(h^2 - R^2)).
@@ -376,6 +428,15 @@ def _sorted_closest_hit(scene: SceneData, org, dirn, t_max=None):
     hit = closest_hit(scene, org[perm], dirn[perm], t_max=tm)
     inv = jnp.argsort(perm)
     return Hit(*(f[inv] for f in hit))
+
+
+def _sorted_occlusion(scene: SceneData, org, dirn, t_cut):
+    """occlusion_query with the wavefront permuted into Morton/octant order
+    (same coherence win as _sorted_closest_hit, boolean result)."""
+    mk = _morton_key(org, dirn)
+    perm = jnp.argsort(mk)
+    occ = occlusion_query(scene, org[perm], dirn[perm], t_cut[perm])
+    return occ[jnp.argsort(perm)]
 
 
 def _step(scene: SceneData, cfg: IntegratorConfig, state, rays, depth_key,

@@ -498,6 +498,179 @@ def closest_hit(scene: SceneData, org, dirn, t_max=None) -> Hit:
     return Hit(best_t, best_type, best_idx, best_inst, best_u, best_v)
 
 
+def occlusion_query(scene: SceneData, org, dirn, t_cut) -> jnp.ndarray:
+    """Boolean any-hit visibility test: True where ANY scene surface
+    intersects the ray at t in (eps, t_cut). The NEE shadow-ray semantics
+    of the reference (Sampler.cs:261-265 — "the closest hit must be the
+    sampled light") reduce to this boolean once the caller knows the
+    light's own hit distance analytically: visible = light hit exists AND
+    nothing else lies in front of it.
+
+    Mesh instances use the early-exit any-hit Pallas kernel when the
+    scene's intersector is "pallas" (lanes retire on their first accepted
+    hit; a fully-occluded packet abandons the whole tree). Everything else
+    reuses the bounded closest-hit machinery — the t_cut bound already
+    prunes traversal past the light. Discrete; always detached.
+
+    t_cut may be scalar or (R,); lanes with t_cut <= 0 short-circuit to
+    not-occluded everywhere.
+    """
+    org = jax.lax.stop_gradient(org)
+    dirn = jax.lax.stop_gradient(dirn)
+    r = org.shape[0]
+    tc = jnp.broadcast_to(
+        jax.lax.stop_gradient(jnp.asarray(t_cut, jnp.float32)), (r,)
+    )
+    occ = jnp.zeros(r, bool)
+
+    def cut():
+        # already-occluded lanes carry a -INF bound: every subsequent
+        # traversal's box/march tests fail instantly for them
+        return jnp.where(occ, -INF, tc)
+
+    o1 = org[:, None, :]
+    d1 = dirn[:, None, :]
+
+    # planes are never in the TLAS
+    if scene.plane_point.shape[0] > 0:
+        ts = primitives.intersect_planes(o1, d1, scene.plane_point,
+                                         scene.plane_normal)
+        occ = occ | jnp.any(ts < tc[:, None], axis=1)
+
+    if scene.use_tlas:
+        t, k, _i, _bi, _u, _v = traverse_scene(scene, org, dirn, cut())
+        occ = occ | (k != PT_NONE)
+    else:
+        if scene.sphere_center.shape[0] > 0:
+            if scene.sphere_xform:
+                o = _xform_point(scene.sphere_inv[None], o1)
+                d = _xform_dir(scene.sphere_inv[None], d1)
+            else:
+                o, d = o1, d1
+            ts = primitives.intersect_spheres(
+                o, d, scene.sphere_center, scene.sphere_radius)
+            occ = occ | jnp.any(ts < tc[:, None], axis=1)
+        if scene.cube_min.shape[0] > 0:
+            if scene.cube_xform:
+                o = _xform_point(scene.cube_inv[None], o1)
+                d = _xform_dir(scene.cube_inv[None], d1)
+            else:
+                o, d = o1, d1
+            ts = primitives.intersect_cubes(o, d, scene.cube_min,
+                                            scene.cube_max)
+            occ = occ | jnp.any(ts < tc[:, None], axis=1)
+        if scene.cyl_radius.shape[0] > 0:
+            if scene.cyl_xform:
+                o = _xform_point(scene.cyl_inv[None], o1)
+                d = _xform_dir(scene.cyl_inv[None], d1)
+            else:
+                o, d = o1, d1
+            ts = primitives.intersect_cylinders(
+                o, d, scene.cyl_radius, scene.cyl_z0, scene.cyl_z1)
+            occ = occ | jnp.any(ts < tc[:, None], axis=1)
+
+        n_inst = scene.inst_inv.shape[0]
+        if n_inst > 0 and scene.tri_v0.shape[0] > 0:
+            for i in range(n_inst):
+                inv = scene.inst_inv[i]
+                o = _xform_point(inv[None], org)
+                d = _xform_dir(inv[None], dirn)
+                if scene.intersector == "pallas":
+                    from ptsharp_tpu.pallas import wide_kernel as wk
+
+                    occ_i = wk.pallas_occluded_wide8(
+                        scene.p_rows, scene.p_leaf, o, d, cut(),
+                        scene.p_inst_base[i], scene.p_inst_end[i],
+                        scene.max_leaf, scene.wide_k,
+                    )
+                    occ = occ | occ_i
+                else:
+                    t, _s, _u, _v = traverse.traverse_wide_chunked(
+                        scene.w_rows, scene.leaf_rows, o, d, cut(),
+                        scene.w_inst_base[i], scene.w_inst_end[i],
+                        scene.max_leaf, scene.wide_k,
+                    )
+                    occ = occ | (t < INF)
+
+    for i, (sdf_obj, _mid, lo, hi) in enumerate(scene.sdf_objects):
+        lo_a = jnp.asarray(lo, jnp.float32)
+        hi_a = jnp.asarray(hi, jnp.float32)
+        te, tx = primitives.box_entry_exit(org, dirn, lo_a, hi_a)
+        tx = jnp.minimum(tx, cut())
+        t = sdf_mod.sphere_trace(sdf_obj, org, dirn, te, tx)
+        occ = occ | (t < tc)
+
+    for i, vol in enumerate(scene.volumes):
+        lo_a = jnp.asarray(vol.bmin, jnp.float32)
+        hi_a = jnp.asarray(vol.bmax, jnp.float32)
+        te, tx = primitives.box_entry_exit(org, dirn, lo_a, hi_a)
+        tx = jnp.minimum(tx, cut())
+        t = vol_mod.intersect(scene.volume_data[i], vol, org, dirn, te, tx)
+        occ = occ | (t < tc)
+
+    for i, (hf, _mid) in enumerate(scene.functions):
+        lo_a = jnp.asarray(hf.bmin, jnp.float32)
+        hi_a = jnp.asarray(hf.bmax, jnp.float32)
+        te, tx = primitives.box_entry_exit(org, dirn, lo_a, hi_a)
+        tx = jnp.minimum(tx, cut())
+        t = fn_mod.intersect(hf, org, dirn, te, tx)
+        occ = occ | (t < tc)
+
+    return occ
+
+
+def light_hit_t(scene: SceneData, org, dirn, lidx) -> jnp.ndarray:
+    """Analytic hit distance of each ray against ITS sampled light's
+    primitive (lidx (R,) per-ray light index): the exact geometry the
+    shadow ray must reach, computed without touching the accelerator.
+    INF where the ray misses the light (a grazing soft-shadow sample —
+    invisible by the reference's "must hit that light" rule). Triangle
+    (mesh) lights are excluded: the caller already knows the sampled
+    point's distance. Only valid for scenes whose lights are analytic
+    primitives (light_types ⊆ {sphere, cube, cylinder, triangle})."""
+    r = org.shape[0]
+    t_light = jnp.full(r, INF, jnp.float32)
+    pi = jnp.maximum(scene.light_pindex[lidx], 0)
+    lt = scene.light_ptype[lidx]
+
+    if PT_SPHERE in scene.light_types:
+        pic = jnp.clip(pi, 0, scene.sphere_center.shape[0] - 1)
+        if scene.sphere_xform:
+            invm = scene.sphere_inv[pic]
+            o_s = _xform_point(invm, org)
+            d_s = _xform_dir(invm, dirn)
+        else:
+            o_s, d_s = org, dirn
+        t = _sphere_t1(o_s, d_s, scene.sphere_center[pic],
+                       scene.sphere_radius[pic])
+        t_light = jnp.where(lt == PT_SPHERE, t, t_light)
+
+    if PT_CUBE in scene.light_types:
+        pic = jnp.clip(pi, 0, scene.cube_min.shape[0] - 1)
+        if scene.cube_xform:
+            invm = scene.cube_inv[pic]
+            o_c = _xform_point(invm, org)
+            d_c = _xform_dir(invm, dirn)
+        else:
+            o_c, d_c = org, dirn
+        t = _cube_t1(o_c, d_c, scene.cube_min[pic], scene.cube_max[pic])
+        t_light = jnp.where(lt == PT_CUBE, t, t_light)
+
+    if PT_CYLINDER in scene.light_types:
+        pic = jnp.clip(pi, 0, scene.cyl_radius.shape[0] - 1)
+        if scene.cyl_xform:
+            invm = scene.cyl_inv[pic]
+            o_y = _xform_point(invm, org)
+            d_y = _xform_dir(invm, dirn)
+        else:
+            o_y, d_y = org, dirn
+        t = _cyl_t1(o_y, d_y, scene.cyl_radius[pic], scene.cyl_z0[pic],
+                    scene.cyl_z1[pic])
+        t_light = jnp.where(lt == PT_CYLINDER, t, t_light)
+
+    return t_light
+
+
 def hit_info(scene: SceneData, org, dirn, hit: Hit) -> HitInfo:
     """Compute shading data for the winning primitive of each ray. Every
     present type's info is computed masked and selected — branchless over

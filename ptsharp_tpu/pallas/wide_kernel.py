@@ -196,11 +196,18 @@ def _kernel(rows_ref, leaf_ref, org_ref, dir_ref, tmax_ref,
 
 def pallas_traverse_wide(rows, leaf, org, dirn, t_max, base: int, end: int,
                          leaf_size: int, k: int, tile: int = TILE,
-                         max_iters: int = 262144,
+                         max_iters: int | None = None,
                          interpret: bool | None = None):
     """Closest-hit over [base, end) wide rows. Returns (t, slot, u, v) with
     slot in KERNEL leaf order (map through PallasTables.slot_map).
-    base/end are Python ints (the kernel specializes on them)."""
+    base/end are Python ints (the kernel specializes on them).
+
+    max_iters defaults to end - base, which is EXACT: the tile cursor is
+    strictly increasing (a descend target is a preorder child index > j
+    and a skip link exits j's subtree, also > j), so a walk visits at most
+    every row once and the cap can never truncate results."""
+    if max_iters is None:
+        max_iters = int(end) - int(base)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     org = jax.lax.stop_gradient(org)
@@ -410,12 +417,17 @@ def _kernel8(rows_ref, leaf_ref, org_ref, dir_ref, tmax_ref,
 
 def pallas_traverse_wide8(rows, leaf, org, dirn, t_max, base: int, end: int,
                           leaf_size: int, k: int,
-                          max_iters: int = 262144,
+                          max_iters: int | None = None,
                           interpret: bool | None = None):
     """8-packet variant: tile = 8 sublane groups x 128 rays, each group
     with an independent cursor. Same tables and results as
     pallas_traverse_wide; faster when 128-ray packets are markedly more
-    coherent than 1024-ray ones (they always are)."""
+    coherent than 1024-ray ones (they always are).
+
+    max_iters defaults to end - base — exact, never truncates (each group
+    cursor is strictly increasing; see pallas_traverse_wide)."""
+    if max_iters is None:
+        max_iters = int(end) - int(base)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     tile = 1024
@@ -470,15 +482,230 @@ def pallas_traverse_wide8(rows, leaf, org, dirn, t_max, base: int, end: int,
 
 
 # ---------------------------------------------------------------------------
+# Any-hit (occlusion) kernel: NEE shadow rays only need "is anything opaque
+# before the light?" (Sampler.cs:261-265 visibility semantics reduced to a
+# boolean), not the closest hit. This variant retires a lane on its FIRST
+# accepted intersection with t < t_cut: the lane's bound collapses to -INF
+# so every subsequent box test fails for it, and a packet whose 128 lanes
+# are all occluded jumps its cursor straight to `end`. Roughly half of all
+# mesh traversal in a NEE render is shadow rays, so the early-outs here are
+# the single largest lever on full-trace throughput.
+# ---------------------------------------------------------------------------
+
+
+def _kernel8_any(rows_ref, leaf_ref, org_ref, dir_ref, tcut_ref,
+                 occ_ref, nscr, lscr,
+                 *, base, end, leaf_size, k, max_iters):
+    G, L = 8, 128
+    ox = org_ref[0, :].reshape(G, L)
+    oy = org_ref[1, :].reshape(G, L)
+    oz = org_ref[2, :].reshape(G, L)
+    dx = dir_ref[0, :].reshape(G, L)
+    dy = dir_ref[1, :].reshape(G, L)
+    dz = dir_ref[2, :].reshape(G, L)
+    t0 = tcut_ref[0, :].reshape(G, L)
+
+    def safe_inv(d):
+        return 1.0 / jnp.where(jnp.abs(d) < 1e-30,
+                               jnp.where(d < 0, -1e-30, 1e-30), d)
+
+    ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+
+    def cond(s):
+        cur, it, occ = s
+        return jnp.logical_and(jnp.any(cur < end), it < max_iters)
+
+    def body(s):
+        # occ is carried as i32 0/1 — Mosaic mis-lays-out (8,128) i1
+        # vectors yielded through scf.if (lax.cond), measured on-chip
+        cur, it, occ = s            # cur (G, 1) i32, occ (G, L) i32
+        active = cur < end
+        occ_b = occ != 0
+        bt = jnp.where(occ_b, -vec.INF, t0)  # occluded lanes test nothing
+        for g in range(G):
+            j = jnp.minimum(cur[g, 0], end - 1)
+            nscr[g, :] = rows_ref[j]
+        nrow = nscr[:]
+        bits = jax.lax.bitcast_convert_type(nrow, jnp.int32)
+        first = bits[:, 6:7]
+        cnt = bits[:, 7:8] & 0xFF
+        skip = bits[:, 8:9]
+        is_leaf = cnt > 0
+
+        def slab(lo_col, hi_col):
+            lox = (nrow[:, lo_col + 0:lo_col + 1] - ox) * ix
+            loy = (nrow[:, lo_col + 1:lo_col + 2] - oy) * iy
+            loz = (nrow[:, lo_col + 2:lo_col + 3] - oz) * iz
+            hix = (nrow[:, hi_col + 0:hi_col + 1] - ox) * ix
+            hiy = (nrow[:, hi_col + 1:hi_col + 2] - oy) * iy
+            hiz = (nrow[:, hi_col + 2:hi_col + 3] - oz) * iz
+            tmin = jnp.maximum(
+                jnp.maximum(jnp.minimum(lox, hix), jnp.minimum(loy, hiy)),
+                jnp.minimum(loz, hiz),
+            )
+            tmax = jnp.minimum(
+                jnp.minimum(jnp.maximum(lox, hix), jnp.maximum(loy, hiy)),
+                jnp.maximum(loz, hiz),
+            )
+            return tmin, tmax
+
+        tmin, tmax = slab(0, 3)
+        box_hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < bt) & active
+
+        leaf_ok = box_hit & is_leaf
+        any_leaf = jnp.any(leaf_ok)
+
+        def do_leaf(occ_in):
+            for g in range(G):
+                lj = jnp.where((bits[g, 7] & 0xFF) > 0,
+                               bits[g, 6] // leaf_size, 0)
+                lscr[g, :] = leaf_ref[jnp.minimum(lj, leaf_ref.shape[0] - 1)]
+            blk = lscr[:]
+            occ_n = occ_in
+            for l in range(leaf_size):
+                c = l * 9
+                v0x = blk[:, c + 0:c + 1]
+                v0y = blk[:, c + 1:c + 2]
+                v0z = blk[:, c + 2:c + 3]
+                e1x = blk[:, c + 3:c + 4]
+                e1y = blk[:, c + 4:c + 5]
+                e1z = blk[:, c + 5:c + 6]
+                e2x = blk[:, c + 6:c + 7]
+                e2y = blk[:, c + 7:c + 8]
+                e2z = blk[:, c + 8:c + 9]
+                hx = dy * e2z - dz * e2y
+                hy = dz * e2x - dx * e2z
+                hz = dx * e2y - dy * e2x
+                det = e1x * hx + e1y * hy + e1z * hz
+                inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+                sx = ox - v0x
+                sy = oy - v0y
+                sz = oz - v0z
+                uu = (sx * hx + sy * hy + sz * hz) * inv_det
+                qx = sy * e1z - sz * e1y
+                qy = sz * e1x - sx * e1z
+                qz = sx * e1y - sy * e1x
+                vv = (dx * qx + dy * qy + dz * qz) * inv_det
+                tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                got = (
+                    leaf_ok
+                    & (jnp.abs(det) > 1e-12)
+                    & (uu >= 0.0) & (uu <= 1.0)
+                    & (vv >= 0.0) & (uu + vv <= 1.0)
+                    & (tt > 1e-4)
+                    & (tt < bt)   # bt == t_cut while un-occluded
+                )
+                occ_n = jnp.maximum(occ_n, got.astype(jnp.int32))
+            return occ_n
+
+        occ = jax.lax.cond(any_leaf, do_leaf, lambda o: o, occ)
+        occ_b = occ != 0
+        bt = jnp.where(occ_b, -vec.INF, t0)
+
+        # descent (any order is fine for any-hit; keep min-preorder)
+        target = jnp.full((G, L), BIG, jnp.int32)
+        for c in range(k):
+            cb = 9 + 6 * c
+            ctmin, ctmax = slab(cb, cb + 3)
+            cidx = bits[:, 9 + 6 * k + c:9 + 6 * k + c + 1]
+            chit = (
+                (ctmax >= jnp.maximum(ctmin, 0.0))
+                & (ctmin < bt)
+                & (cidx > 0)
+            )
+            target = jnp.where(chit & (cidx < target), cidx, target)
+
+        descend = box_hit & jnp.logical_not(is_leaf) & jnp.logical_not(occ_b)
+        ray_next = jnp.where(descend & (target < BIG), target,
+                             jnp.broadcast_to(skip, (G, L)))
+        nxt = jnp.min(ray_next, axis=1, keepdims=True)
+        # packet-wide early exit: every lane resolved -> done with the tree
+        all_occ = jnp.min(occ, axis=1, keepdims=True) > 0
+        nxt = jnp.where(all_occ, end, nxt)
+        cur = jnp.where(active, nxt, cur)
+        return cur, it + 1, occ
+
+    init = (
+        jnp.full((G, 1), base, jnp.int32), jnp.int32(0),
+        jnp.zeros((G, L), jnp.int32),
+    )
+    _, _, occ = jax.lax.while_loop(cond, body, init)
+    occ_ref[0, :] = occ.reshape(G * L)
+
+
+def pallas_occluded_wide8(rows, leaf, org, dirn, t_cut, base: int, end: int,
+                          leaf_size: int, k: int,
+                          max_iters: int | None = None,
+                          interpret: bool | None = None):
+    """Any-hit query over [base, end) wide rows: returns (R,) bool, True
+    where SOME triangle intersects at t in (1e-4, t_cut). Pass t_cut
+    already shrunk below the light distance (the light's own surface must
+    not self-occlude); lanes whose t_cut <= 0 are never occluded and cost
+    nothing (their box tests all fail)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if max_iters is None:
+        max_iters = int(end) - int(base)
+    tile = 1024
+    org = jax.lax.stop_gradient(org)
+    dirn = jax.lax.stop_gradient(dirn)
+    r = org.shape[0]
+    tc = jnp.broadcast_to(
+        jax.lax.stop_gradient(jnp.asarray(t_cut, jnp.float32)), (r,)
+    )
+    pad = (-r) % tile
+    if pad:
+        org = jnp.concatenate([org, jnp.zeros((pad, 3), org.dtype)])
+        dirn = jnp.concatenate([dirn, jnp.ones((pad, 3), dirn.dtype)])
+        tc = jnp.concatenate([tc, jnp.full((pad,), -vec.INF, jnp.float32)])
+    rp = r + pad
+    n_tiles = rp // tile
+    org_t = org.T.reshape(3, rp)
+    dir_t = dirn.T.reshape(3, rp)
+    tc2 = tc.reshape(1, rp)
+
+    kern = functools.partial(
+        _kernel8_any, base=int(base), end=int(end), leaf_size=int(leaf_size),
+        k=int(k), max_iters=max_iters,
+    )
+    ray_spec = pl.BlockSpec((3, tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    occ = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        out_shape=jax.ShapeDtypeStruct((1, rp), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # node rows (full)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # leaf rows (full)
+            ray_spec, ray_spec, row_spec,
+        ],
+        out_specs=row_spec,
+        scratch_shapes=[
+            pltpu.VMEM((8, 128), jnp.float32),
+            pltpu.VMEM((8, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(rows, leaf, org_t, dir_t, tc2)
+    return occ[0, :r] != 0
+
+
+# ---------------------------------------------------------------------------
 # Host-side table packing
 # ---------------------------------------------------------------------------
 
 
+# Measured ceiling on this chip (scripts/exp_vmem_ceiling.py): 16.6 MB of
+# tables compiles and runs; 40 MB fails. The budget is the measured-GOOD
+# point, not an interpolation — tables past it fall back to the XLA wide
+# walk at build time (scene.py) so no unproven size ever reaches Mosaic.
+VMEM_TABLE_BUDGET = int(16.6 * 1024 * 1024)
+
+
 def fits_vmem(tables: PallasTables,
-              budget_bytes: int = 17 * 1024 * 1024) -> bool:
-    """Node + leaf tables must sit in VMEM alongside the ray tiles.
-    Measured ceiling on this chip (scripts/exp_vmem_ceiling.py): 16.6 MB
-    compiles and runs; 40 MB fails."""
+              budget_bytes: int = VMEM_TABLE_BUDGET) -> bool:
+    """Node + leaf tables must sit in VMEM alongside the ray tiles."""
     return (tables.rows.size + tables.leaf.size) * 4 <= budget_bytes
 
 

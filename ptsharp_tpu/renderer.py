@@ -192,7 +192,14 @@ class Renderer:
             render_chunk, static_argnames=("rows", "spp"),
         )
 
-        if cfg.compaction:
+        # compaction only helps (and trace_compacted_static only engages)
+        # for RR + naive-specular configs — both static at build time. For
+        # any other config installing compacted_chunk would silently replace
+        # the fully-jitted render_chunk with an un-jitted trace() fallback.
+        compaction_applies = (
+            icfg.russian_roulette and icfg.specular_mode == "naive"
+        )
+        if cfg.compaction and compaction_applies:
             from ptsharp_tpu.integrator import trace_compacted_static
 
             raygen_j = jax.jit(raygen, static_argnames=("rows", "spp"))

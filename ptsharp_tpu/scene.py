@@ -73,7 +73,7 @@ _META_FIELDS = [
     "sdf_objects", "volumes", "functions", "sphere_xform", "cube_xform",
     "cyl_xform", "max_leaf", "env_texture", "has_surface_maps",
     "tlas_end", "use_tlas", "intersector", "wide_k", "w_tlas_end",
-    "p_inst_base", "p_inst_end",
+    "p_inst_base", "p_inst_end", "light_types",
 ]
 
 
@@ -213,6 +213,9 @@ class SceneData:
     w_tlas_end: int   # wide TLAS node count at the head of w_rows
     p_inst_base: tuple  # per-instance Pallas row range (host ints: the
     p_inst_end: tuple   # kernel specializes on them)
+    light_types: tuple  # sorted set of PT_* codes among registered lights
+    # (static: lets the integrator pick the analytic any-hit shadow path
+    # when every light's own hit distance is cheap to compute)
 
     @property
     def num_lights(self) -> int:
@@ -727,11 +730,13 @@ class SceneBuilder:
         # TLAS head), one node per 128-lane row; leaf rows lane-padded the
         # same way. Slot indices are the scene's (identity slot map).
         if intersector == "pallas":
+            from ptsharp_tpu.pallas.wide_kernel import VMEM_TABLE_BUDGET
+
             n_rows_est = sum(w.bmin.shape[0] for w in mesh_wide) \
                 + leaf_rows.shape[0]
-            # measured ceiling (scripts/exp_vmem_ceiling.py): 16.6 MB
-            # compiles + runs, 40 MB fails — 17 MB is the known-good edge
-            if n_rows_est * 128 * 4 > 17 * 1024 * 1024:
+            # budget = the measured-good ceiling (wide_kernel.py), kept in
+            # one place so build-time fallback and fits_vmem() agree
+            if n_rows_est * 128 * 4 > VMEM_TABLE_BUDGET:
                 # tables must be VMEM-resident alongside the ray tiles;
                 # beyond the budget fall back to the K-wide XLA walk
                 import warnings
@@ -937,6 +942,7 @@ class SceneBuilder:
             w_tlas_end=int(w_tlas_n),
             p_inst_base=p_inst_b,
             p_inst_end=p_inst_e,
+            light_types=tuple(sorted({lt[0] for lt in self._lights})),
             has_surface_maps=any(
                 m.normal_texture >= 0 or m.bump_texture >= 0
                 for m in self._materials

@@ -31,9 +31,12 @@ def test_catalog_scene(name):
 
 
 def test_dragon_scale_mesh():
-    """Million-node BVH path (the old 1<<19 packed-node cap is gone):
-    subdiv-7 = 327,680 tris with leaf_size 2 -> ~490k binary nodes; build
-    + closest-hit smoke on a small ray batch."""
+    """Uncapped BVH node path (the old 1<<19 packed-node cap is gone):
+    subdiv-6 = 81,920 tris with leaf_size 1 -> ~164k binary nodes, well
+    past the old 12-bit-skip packing; build + closest-hit smoke on a small
+    ray batch. (The true million-node scale renders via examples.dragon_hd,
+    1.3M tris / ~439k nodes, exercised by scripts/render_catalog.py and the
+    large-mesh bench config.)"""
     from ptsharp_tpu.examples import _bunny_mesh
     from ptsharp_tpu.intersect import closest_hit
     from ptsharp_tpu.materials import diffuse_material
