@@ -168,15 +168,63 @@ def run_grad(width=1920, height=1080, chunks=8):
     return total / dt / 1e6
 
 
-def run_ladder(ladder):
-    """Try benchmark shapes in order; return the first that runs, tagging
-    the result with the shape that produced it."""
+def run_closest_hit(name, r=1 << 20, chunks=4, **scene_kw):
+    """Coherent closest-hit throughput (Morton-ordered primaries) — the
+    raw traversal metric for large meshes whose full trace would swamp the
+    bench budget (dragon_hd: 1.3M tris)."""
+    from ptsharp_tpu import examples
+    from ptsharp_tpu.intersect import closest_hit
+
+    scene, cam, _rcfg, _icfg = examples.build(name, **scene_kw)
+    w, h = 1920, 1080
+    morder = _morton_pixel_order(w, h)
+    key = jax.random.PRNGKey(7)
+
+    @jax.jit
+    def gen(ci):
+        start = (ci * r) % (w * h)
+        xs = morder[(start + jnp.arange(r, dtype=jnp.int32)) % (w * h)]
+        px, py = xs % w, xs // w
+        ju, jv = jax.random.uniform(jax.random.fold_in(key, ci), (2, r))
+        return cam.cast_rays(px, py, w, h, ju, jv)
+
+    @jax.jit
+    def ch(org, dirn):
+        hit = closest_hit(scene, org, dirn)
+        return jnp.sum(hit.t * (hit.t < 1e9))
+
+    rays = [gen(jnp.int32(i)) for i in range(chunks)]
+    jax.block_until_ready(rays)
+    out = ch(*rays[0])
+    jax.block_until_ready(out)
+    t0 = time.time()
+    outs = [ch(*c) for c in rays]
+    jax.block_until_ready(outs)
+    dt = time.time() - t0
+    return chunks * r / dt / 1e6
+
+
+def run_ladder(ladder, repeats=3):
+    """Try benchmark shapes in order; the first that runs is repeated
+    `repeats` times (compiles cache after the first) and the MEDIAN is
+    reported with the min/max spread — tunnel run-to-run variance has
+    measured same-day swings of 1.5x+, so a single sample is noise."""
     last_err = None
     for label, fn in ladder:
         try:
-            return fn(), label, last_err
+            vals = [fn()]
         except Exception as e:  # noqa: BLE001 — record and fall through
             last_err = f"{label}: {str(e)[:120]}"
+            continue
+        for _ in range(repeats - 1):
+            try:
+                vals.append(fn())
+            except Exception:  # noqa: BLE001 — keep what we have
+                break
+        vals.sort()
+        med = vals[len(vals) // 2] if len(vals) % 2 else 0.5 * (
+            vals[len(vals) // 2 - 1] + vals[len(vals) // 2])
+        return med, vals, label, last_err
     raise RuntimeError(last_err or "empty ladder")
 
 
@@ -209,17 +257,28 @@ def main():
                 ("grad/256k", run_grad),
             ],
         ),
+        (
+            "Mrays_per_s_closest_hit_dragon1p3M",
+            [
+                ("dragon_hd/pallas8/1M", lambda: run_closest_hit(
+                    "dragon_hd", intersector="pallas", wide_k=8)),
+                ("dragon_hd/wide/1M", lambda: run_closest_hit("dragon_hd")),
+            ],
+        ),
     ]
     results = []
     for metric, ladder in jobs:
         try:
-            mrays, shape, warn = run_ladder(ladder)
+            mrays, vals, shape, warn = run_ladder(ladder)
             row = {
                 "metric": metric,
                 "value": round(mrays, 2),
                 "unit": "Mrays/s",
                 "vs_baseline": round(mrays / BASELINE_MRAYS_PER_CHIP, 3),
                 "shape": shape,
+                "runs": [round(v, 2) for v in vals],
+                "min": round(min(vals), 2),
+                "max": round(max(vals), 2),
             }
             if warn:
                 row["fallback_from"] = warn

@@ -654,13 +654,16 @@ def craft(width=512, height=384, n=10):
 
 @example("runway")
 def runway(width=512, height=288):
-    """Runway of Kelvin-temperature lights (reference runway,
-    Example.cs:1028-1082) — exercises Colour.Kelvin + many-light NEE."""
+    """Runway of Kelvin-temperature lights at reference scale — 126
+    lights (reference runway carries hundreds, Example.cs:1028-1082).
+    Exercises Colour.Kelvin + many-light NEE via LIGHT_MODE_POWER: one
+    power-CDF light pick per bounce, so trace cost and compile time are
+    flat in light count (the ALL mode would unroll 126 traversals)."""
     b = SceneBuilder()
     b.add_plane([0, 0, 0], [0, 1, 0], diffuse_material([0.05, 0.05, 0.06]))
-    for i in range(20):
+    for i in range(60):
         z = i * 4.0
-        k = 2000.0 + i * 700.0
+        k = 2000.0 + (i % 20) * 700.0
         c = np.asarray(colorlib.kelvin(k))
         for x in (-3.0, 3.0):
             b.add_sphere([x, 0.3, z], 0.3, light_material(c, 6.0))
@@ -672,7 +675,7 @@ def runway(width=512, height=288):
     scene = b.build()
     cam = Camera.look_at([0, 6, -20], [0, 0, 30], [0, 1, 0], 50.0)
     return scene, cam, RenderConfig(width=width, height=height, spp=16), \
-        IntegratorConfig(max_bounces=2)
+        IntegratorConfig(max_bounces=2, light_mode="power")
 
 
 @example("mol")

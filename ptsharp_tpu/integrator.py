@@ -50,6 +50,11 @@ _ANALYTIC_LIGHT_TYPES = (PT_SPHERE, PT_CUBE, PT_CYLINDER, PT_TRIANGLE)
 
 LIGHT_MODE_RANDOM = "random"  # one random light x nLights (Sampler.cs:205-209)
 LIGHT_MODE_ALL = "all"  # average over all lights (Sampler.cs:198-204)
+# one light picked proportional to emitted power (pmf precomputed at scene
+# build) — same expectation as "all"/"random" but with per-bounce cost flat
+# in light count AND variance concentrated on the bright lights; the
+# scalable mode for reference-runway-class scenes (Example.cs:1028-1082)
+LIGHT_MODE_POWER = "power"
 
 SPECULAR_MODE_NAIVE = "naive"  # russian-roulette branch pick every bounce
 SPECULAR_MODE_FIRST = "first"  # force both branches at the first hit
@@ -100,8 +105,9 @@ class IntegratorConfig:
 
     def __post_init__(self):
         assert self.remat_policy in ("full", "hits"), self.remat_policy
-        assert self.light_mode in (LIGHT_MODE_RANDOM, LIGHT_MODE_ALL), \
-            self.light_mode
+        assert self.light_mode in (
+            LIGHT_MODE_RANDOM, LIGHT_MODE_ALL, LIGHT_MODE_POWER
+        ), self.light_mode
         assert self.specular_mode in (
             SPECULAR_MODE_NAIVE, SPECULAR_MODE_FIRST, SPECULAR_MODE_ALL
         ), self.specular_mode
@@ -159,18 +165,26 @@ def sample_environment(scene: SceneData, dirn):
 
 
 def sample_lights(scene: SceneData, cfg: IntegratorConfig, position, normal,
-                  key):
+                  key, active=None):
     """Batched NEE (Sampler.sampleLights/sampleLight, Sampler.cs:191-296).
 
     Returns the direct-light contribution BEFORE albedo weighting (the
-    caller multiplies by material color * throughput). Visibility uses a
-    full closest-hit that must land on the sampled light. Discrete light
-    choice and disc points are detached from the gradient.
+    caller multiplies by material color * throughput). Visibility is a
+    boolean any-hit occlusion query bounded by the light's analytic hit
+    distance (fast path) or a full closest-hit that must land on the
+    sampled light. Discrete light choice and disc points are detached
+    from the gradient.
+
+    active: optional (R,) bool — lanes that are False skip all shadow
+    traversal work (their t bound collapses so every box test fails
+    instantly); their returned contribution is garbage the caller masks.
     """
     n_lights = scene.num_lights
     r = position.shape[0]
     if n_lights == 0 or not cfg.direct_lighting:
         return jnp.zeros((r, 3), jnp.float32), jnp.int32(0)
+    if active is None:
+        active = jnp.ones(r, bool)
 
     has_em = scene.em_v0.shape[0] > 0  # static: any per-triangle lights
 
@@ -250,8 +264,9 @@ def sample_lights(scene: SceneData, cfg: IntegratorConfig, position, normal,
                 )
             t_hit = t_light < vec.INF
             t_cut = t_light * (1.0 - 1e-3) - 1e-3
-            # lanes that face away or miss the light skip traversal
-            t_cut = jnp.where(facing & t_hit, t_cut, -vec.INF)
+            # lanes that face away, miss the light, or are dead skip all
+            # traversal (their bound fails every box test instantly)
+            t_cut = jnp.where(facing & t_hit & active, t_cut, -vec.INF)
             if cfg.sort_bounces and scene.inst_inv.shape[0] > 0:
                 occ = _sorted_occlusion(scene, position, ray_dir, t_cut)
             else:
@@ -268,6 +283,7 @@ def sample_lights(scene: SceneData, cfg: IntegratorConfig, position, normal,
                 vec.length(point - position) * 1.001 + 1e-3,
                 hyp0 + 2.0 * radius + 1e-3,
             )
+            shadow_tmax = jnp.where(active, shadow_tmax, -vec.INF)
             # shadow rays sort like bounce rays (mesh scenes): origins are
             # scattered surface points, directions cluster toward the light
             if cfg.sort_bounces and scene.inst_inv.shape[0] > 0:
@@ -326,6 +342,17 @@ def sample_lights(scene: SceneData, cfg: IntegratorConfig, position, normal,
         for li in range(n_lights):
             total = total + one_light(jnp.full(r, li, jnp.int32), keys[li])
         return total / n_lights, jnp.int32(n_lights * r)
+    elif cfg.light_mode == LIGHT_MODE_POWER:
+        kpick, ksmp = jax.random.split(key)
+        u = jax.random.uniform(kpick, (r,))
+        lidx = jnp.clip(
+            jnp.searchsorted(scene.light_cdf, u, side="right"),
+            0, n_lights - 1,
+        ).astype(jnp.int32)
+        lidx = jax.lax.stop_gradient(lidx)
+        inv_pdf = 1.0 / jnp.maximum(scene.light_pmf[lidx], 1e-12)
+        inv_pdf = jax.lax.stop_gradient(inv_pdf)
+        return one_light(lidx, ksmp) * inv_pdf[:, None], jnp.int32(r)
     else:
         kpick, ksmp = jax.random.split(key)
         lidx = jax.random.randint(kpick, (r,), 0, n_lights)
@@ -454,12 +481,17 @@ def _step(scene: SceneData, cfg: IntegratorConfig, state, rays, depth_key,
     # static gate: sorting only pays where traversal is divergence-bound
     # (mesh scenes); analytic-only scenes would pay the argsort for nothing
     do_sort = sort_rays and cfg.sort_bounces and scene.inst_inv.shape[0] > 0
+    # dead lanes (env miss, emissive cut) carry a collapsed t bound so
+    # traversal retires them instantly instead of re-walking stale rays
+    # every remaining depth (depth 0 is all-alive; the where is free)
+    lane_tmax = jnp.where(state.alive, vec.INF, -vec.INF)
     if pre_hit is not None:
         hit = pre_hit
     elif do_sort:
-        hit = _sorted_closest_hit(scene, state.org, state.dirn)
+        hit = _sorted_closest_hit(scene, state.org, state.dirn,
+                                  t_max=lane_tmax)
     else:
-        hit = closest_hit(scene, state.org, state.dirn)
+        hit = closest_hit(scene, state.org, state.dirn, t_max=lane_tmax)
     # named residual: under remat_policy="hits" the backward pass keeps
     # these 6 per-ray scalars instead of re-running the traversal
     hit = Hit(*(checkpoint_name(f, "hit") for f in hit))
@@ -509,10 +541,11 @@ def _step(scene: SceneData, cfg: IntegratorConfig, state, rays, depth_key,
     # NEE on the diffuse branch (Sampler.cs:123-127): the contribution
     # is albedo * direct, i.e. post-branch throughput * direct.
     if cfg.direct_lighting and scene.num_lights > 0:
+        nee_active = alive & ~is_spec
         direct, srays = sample_lights(
-            scene, cfg, info.position, info.normal, kn
+            scene, cfg, info.position, info.normal, kn, active=nee_active
         )
-        nee_mask = alive & ~is_spec
+        nee_mask = nee_active
         radiance = radiance + jnp.where(
             nee_mask[:, None], throughput * direct, 0.0
         )
@@ -635,40 +668,19 @@ def trace(
                 new_states += [s_d, s_s]
             states = new_states
 
-    # ---- remaining bounces: lax.scan over depth ---------------------------
+    # ---- remaining bounces: the shared depth scan (_trace_span) -----------
     # One traced body for every depth keeps the XLA graph (and compile
     # time) independent of max_bounces — the scanned-depth design of
     # SURVEY.md §5's "long-context equivalent". RR's depth gate becomes a
-    # traced comparison inside the body. With cfg.remat the body is
-    # jax.checkpoint'ed: the backward re-traces each bounce instead of
-    # saving per-bounce wavefront residuals across the whole scan.
-    def scan_step(scn, cur, rays_acc, dk, uu, vv, depth):
-        cur, rays_acc, _, _ = _step(scn, cfg, cur, rays_acc, dk, uu, vv,
-                                    None, depth, sort_rays=True)
-        return cur, rays_acc
-
-    if cfg.remat:
-        scan_step = jax.checkpoint(scan_step, policy=_remat_policy(cfg))
-
-    def scan_body(carry, depth):
-        cur, rays_acc, si = carry
-        dk = jax.random.fold_in(jax.random.fold_in(krest, si * 1024), depth)
-        ku_, kv_ = jax.random.split(jax.random.fold_in(dk, 7))
-        uu = jax.random.uniform(ku_, (r,))
-        vv = jax.random.uniform(kv_, (r,))
-        cur, rays_acc = scan_step(scene, cur, rays_acc, dk, uu, vv, depth)
-        return (cur, rays_acc, si), None
-
+    # traced comparison inside the body. trace(), the compacted prefix
+    # (_trace_prefix) and the compacted tail (_static_tail) all run THIS
+    # ONE implementation, so the bit-identical key-chain invariant between
+    # plain and compacted traces is structural, not a convention.
     results = []
     start_depth = max(n_split, 1) if n_split else 1
-    depths = jnp.arange(start_depth, cfg.max_bounces + 1)
     for si, st in enumerate(states):
-        if depths.shape[0] > 0:
-            (cur, rays, _), _ = jax.lax.scan(
-                scan_body, (st, rays, jnp.int32(si)), depths
-            )
-        else:
-            cur = st
+        cur, rays = _trace_span(scene, cfg, st, rays, krest,
+                                start_depth, cfg.max_bounces + 1, si=si)
         results.append(cur.radiance)
 
     radiance = results[0]
@@ -722,8 +734,12 @@ def _trace_prefix(scene, cfg: IntegratorConfig, org, dirn, key, strat_idx,
 
 
 def _trace_span(scene, cfg: IntegratorConfig, state, rays, krest,
-                d0: int, d1: int):
-    """lax.scan over depths [d0, d1)."""
+                d0: int, d1: int, si: int = 0):
+    """THE depth scan: lax.scan of _step over depths [d0, d1). Every trace
+    variant (plain, branch-split wavefront si, compacted prefix, compacted
+    tail) runs this one body with the one key chain
+    fold_in(fold_in(krest, si*1024), depth), so bit-identical random
+    decisions across variants are guaranteed by construction."""
     if d1 <= d0:
         return state, rays
     r = state.org.shape[0]
@@ -738,9 +754,7 @@ def _trace_span(scene, cfg: IntegratorConfig, state, rays, krest,
 
     def scan_body(carry, depth):
         cur, rays_acc = carry
-        # same key chain as trace()'s scan (si = 0) so the compacted path
-        # retraces bit-identical random decisions
-        dk = jax.random.fold_in(jax.random.fold_in(krest, 0), depth)
+        dk = jax.random.fold_in(jax.random.fold_in(krest, si * 1024), depth)
         ku_, kv_ = jax.random.split(jax.random.fold_in(dk, 7))
         uu = jax.random.uniform(ku_, (r,))
         vv = jax.random.uniform(kv_, (r,))

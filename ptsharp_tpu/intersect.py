@@ -449,15 +449,26 @@ def closest_hit(scene: SceneData, org, dirn, t_max=None) -> Hit:
                     scene.u_inst_base[i], scene.u_inst_end[i], scene.max_leaf,
                 )
             elif scene.intersector == "pallas":
-                # 8-packet sublane kernel: the fastest measured variant on
-                # both coherent and sorted-bounce rays (BASELINE.md)
-                from ptsharp_tpu.pallas import wide_kernel as wk
+                if scene.p_hbm:
+                    # larger-than-VMEM tables: stream 64-row blocks from
+                    # HBM through per-packet caches
+                    from ptsharp_tpu.pallas import hbm_kernel as hk
 
-                t, slot, u, v = wk.pallas_traverse_wide8(
-                    scene.p_rows, scene.p_leaf, o, d, best_t,
-                    scene.p_inst_base[i], scene.p_inst_end[i],
-                    scene.max_leaf, scene.wide_k,
-                )
+                    t, slot, u, v = hk.pallas_traverse_hbm8(
+                        scene.p_rows, scene.p_leaf, o, d, best_t,
+                        scene.p_inst_base[i], scene.p_inst_end[i],
+                        scene.max_leaf, scene.wide_k,
+                    )
+                else:
+                    # 8-packet sublane kernel: the fastest measured variant
+                    # on both coherent and sorted-bounce rays (BASELINE.md)
+                    from ptsharp_tpu.pallas import wide_kernel as wk
+
+                    t, slot, u, v = wk.pallas_traverse_wide8(
+                        scene.p_rows, scene.p_leaf, o, d, best_t,
+                        scene.p_inst_base[i], scene.p_inst_end[i],
+                        scene.max_leaf, scene.wide_k,
+                    )
             else:  # "wide" — K-wide node rows, fewest gathers per ray
                 t, slot, u, v = traverse.traverse_wide_chunked(
                     scene.w_rows, scene.leaf_rows, o, d, best_t,
@@ -575,7 +586,7 @@ def occlusion_query(scene: SceneData, org, dirn, t_cut) -> jnp.ndarray:
                 inv = scene.inst_inv[i]
                 o = _xform_point(inv[None], org)
                 d = _xform_dir(inv[None], dirn)
-                if scene.intersector == "pallas":
+                if scene.intersector == "pallas" and not scene.p_hbm:
                     from ptsharp_tpu.pallas import wide_kernel as wk
 
                     occ_i = wk.pallas_occluded_wide8(
@@ -584,6 +595,17 @@ def occlusion_query(scene: SceneData, org, dirn, t_cut) -> jnp.ndarray:
                         scene.max_leaf, scene.wide_k,
                     )
                     occ = occ | occ_i
+                elif scene.intersector == "pallas":
+                    # >VMEM tables: bounded closest-hit via the streaming
+                    # kernel (an any-hit streaming variant can follow)
+                    from ptsharp_tpu.pallas import hbm_kernel as hk
+
+                    t, _s, _u, _v = hk.pallas_traverse_hbm8(
+                        scene.p_rows, scene.p_leaf, o, d, cut(),
+                        scene.p_inst_base[i], scene.p_inst_end[i],
+                        scene.max_leaf, scene.wide_k,
+                    )
+                    occ = occ | (t < INF)
                 else:
                     t, _s, _u, _v = traverse.traverse_wide_chunked(
                         scene.w_rows, scene.leaf_rows, o, d, cut(),

@@ -64,6 +64,7 @@ _DATA_FIELDS = [
     "u_inst_base", "u_inst_end",
     "light_ptype", "light_pindex", "light_center", "light_radius", "light_mat",
     "light_tri_start", "light_tri_end", "light_area",
+    "light_cdf", "light_pmf",
     "em_v0", "em_e1", "em_e2", "em_nrm", "em_cdf", "em_mat",
     "materials", "textures",
     "env_color", "texture_angle",
@@ -73,7 +74,7 @@ _META_FIELDS = [
     "sdf_objects", "volumes", "functions", "sphere_xform", "cube_xform",
     "cyl_xform", "max_leaf", "env_texture", "has_surface_maps",
     "tlas_end", "use_tlas", "intersector", "wide_k", "w_tlas_end",
-    "p_inst_base", "p_inst_end", "light_types",
+    "p_inst_base", "p_inst_end", "light_types", "p_hbm",
 ]
 
 
@@ -184,6 +185,12 @@ class SceneData:
     light_tri_start: jnp.ndarray
     light_tri_end: jnp.ndarray
     light_area: jnp.ndarray   # total emissive area per light (0 = non-tri)
+    # power-proportional light selection (LIGHT_MODE_POWER): pmf ~
+    # emittance * luminance * surface-area proxy. Keeps many-light NEE
+    # (reference runway, Example.cs:1028-1082) one traversal per bounce
+    # with variance concentrated on the bright lights.
+    light_cdf: jnp.ndarray    # (L,) cumulative pmf, last entry 1
+    light_pmf: jnp.ndarray    # (L,) selection probability per light
     em_v0: jnp.ndarray        # (E, 3) world space
     em_e1: jnp.ndarray
     em_e2: jnp.ndarray
@@ -216,6 +223,9 @@ class SceneData:
     light_types: tuple  # sorted set of PT_* codes among registered lights
     # (static: lets the integrator pick the analytic any-hit shadow path
     # when every light's own hit distance is cheap to compute)
+    p_hbm: bool  # pallas tables exceed VMEM: stream 64-row blocks from
+    # HBM through per-packet caches (pallas/hbm_kernel.py) instead of the
+    # VMEM-resident kernel
 
     @property
     def num_lights(self) -> int:
@@ -729,24 +739,18 @@ class SceneBuilder:
         # Pallas tables: per-mesh wide BLAS rows with their own offsets (no
         # TLAS head), one node per 128-lane row; leaf rows lane-padded the
         # same way. Slot indices are the scene's (identity slot map).
+        p_hbm = False
         if intersector == "pallas":
             from ptsharp_tpu.pallas.wide_kernel import VMEM_TABLE_BUDGET
 
             n_rows_est = sum(w.bmin.shape[0] for w in mesh_wide) \
                 + leaf_rows.shape[0]
             # budget = the measured-good ceiling (wide_kernel.py), kept in
-            # one place so build-time fallback and fits_vmem() agree
-            if n_rows_est * 128 * 4 > VMEM_TABLE_BUDGET:
-                # tables must be VMEM-resident alongside the ray tiles;
-                # beyond the budget fall back to the K-wide XLA walk
-                import warnings
-
-                warnings.warn(
-                    f"pallas intersector: tables ~{n_rows_est * 512 // 2**20}"
-                    " MB exceed the VMEM budget; falling back to 'wide'",
-                    stacklevel=2,
-                )
-                intersector = "wide"
+            # one place so build-time dispatch and fits_vmem() agree.
+            # Beyond it the tables stay in HBM and the streaming kernel
+            # (pallas/hbm_kernel.py) takes over — no more XLA-walk
+            # fallback for dragon-class meshes.
+            p_hbm = n_rows_est * 128 * 4 > VMEM_TABLE_BUDGET
         if intersector == "pallas":
             p_parts = []
             p_range = []
@@ -763,6 +767,20 @@ class SceneBuilder:
                       else np.zeros((0, 128), np.float32))
             p_leaf = np.zeros((leaf_rows.shape[0], 128), np.float32)
             p_leaf[:, :leaf_rows.shape[1]] = leaf_rows
+            if p_hbm:
+                # the streaming kernel DMAs whole 64-row blocks: pad both
+                # tables to a block multiple (zero rows are never reached)
+                from ptsharp_tpu.pallas.hbm_kernel import BLK
+
+                def _pad_blk(a):
+                    padr = (-a.shape[0]) % BLK
+                    if padr:
+                        a = np.concatenate(
+                            [a, np.zeros((padr, 128), np.float32)])
+                    return a
+
+                p_rows = _pad_blk(p_rows)
+                p_leaf = _pad_blk(p_leaf)
             p_inst_b = tuple(int(p_range[mi][0])
                              for mi, *_ in self._instances)
             p_inst_e = tuple(int(p_range[mi][1])
@@ -830,6 +848,28 @@ class SceneBuilder:
             if parts:
                 return jnp.asarray(np.concatenate(parts).astype(dtype))
             return jnp.zeros((0,) + shape, dtype)
+
+        # power-proportional light pmf/cdf: emittance x luminance x area
+        # proxy (emissive triangle area for mesh lights, bounding r^2
+        # otherwise)
+        n_l = len(self._lights)
+        if n_l:
+            lum = np.array([0.2126, 0.7152, 0.0722], np.float32)
+            power = np.zeros(n_l, np.float32)
+            for li, (ptype, _pi, _c, rad, lm) in enumerate(self._lights):
+                m = self._materials[lm]
+                area = (lt_area[li] if ptype == PT_TRIANGLE
+                        else max(rad * rad, 1e-8))
+                power[li] = m.emittance * float(
+                    np.dot(np.asarray(m.color, np.float32), lum)) * area
+            total = float(power.sum())
+            pmf = (power / total if total > 0
+                   else np.full(n_l, 1.0 / n_l, np.float32))
+            cdf = np.cumsum(pmf).astype(np.float32)
+            cdf[-1] = 1.0
+        else:
+            pmf = np.zeros(0, np.float32)
+            cdf = np.zeros(0, np.float32)
 
         if use_tlas is None:
             # heuristic: brute-force per-type passes win for small object
@@ -916,6 +956,8 @@ class SceneBuilder:
             light_tri_start=jnp.asarray(lt_start),
             light_tri_end=jnp.asarray(lt_end),
             light_area=jnp.asarray(lt_area),
+            light_cdf=jnp.asarray(cdf),
+            light_pmf=jnp.asarray(pmf),
             em_v0=cat(em_v0l, (3,)),
             em_e1=cat(em_e1l, (3,)),
             em_e2=cat(em_e2l, (3,)),
@@ -943,6 +985,7 @@ class SceneBuilder:
             p_inst_base=p_inst_b,
             p_inst_end=p_inst_e,
             light_types=tuple(sorted({lt[0] for lt in self._lights})),
+            p_hbm=bool(p_hbm),
             has_surface_maps=any(
                 m.normal_texture >= 0 or m.bump_texture >= 0
                 for m in self._materials

@@ -33,17 +33,27 @@ def timeit(fn, *args, iters=6):
     return (time.time() - t0) / iters
 
 
-def full_trace(name, r=1 << 18, iters=6, **kw):
+def full_trace(name, r=1 << 18, n_chunks=4, **kw):
+    """bench.py-style workload: Morton-ordered pixel chunks covering the
+    whole 1080p frame (chunk 0 alone is top-of-frame sky — useless for
+    shadow-ray A/B)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from bench import _morton_pixel_order
+
     scene, cam, _rcfg, icfg = examples.build(name, **kw)
     key = jax.random.PRNGKey(0)
     w, h = 1920, 1080
-    px = jnp.arange(r) % w
-    py = (jnp.arange(r) // w) % h
-    ju, jv = jax.random.uniform(key, (2, r))
-    org, dirn = jax.jit(
-        lambda: cam.cast_rays(px, py, w, h, ju, jv)
-    )()
-    jax.block_until_ready((org, dirn))
+    morder = _morton_pixel_order(w, h)
+    chunks = []
+    for ci in range(n_chunks):
+        start = (ci * r) % (w * h)
+        xs = morder[(start + jnp.arange(r, dtype=jnp.int32)) % (w * h)]
+        px, py = xs % w, xs // w
+        ju, jv = jax.random.uniform(jax.random.fold_in(key, ci), (2, r))
+        org, dirn = jax.jit(cam.cast_rays, static_argnums=(2, 3))(
+            px, py, w, h, ju, jv)
+        jax.block_until_ready((org, dirn))
+        chunks.append((org, dirn))
 
     for anyhit in (False, True):
         icfg2 = replace(icfg, anyhit_shadows=anyhit)
@@ -54,11 +64,16 @@ def full_trace(name, r=1 << 18, iters=6, **kw):
             return jnp.sum(res.radiance), res.rays_traced
 
         try:
-            dt = timeit(tr, org, dirn, iters=iters)
-            s, rays = tr(org, dirn)
-            mrays = int(rays) / dt / 1e6
+            out = tr(*chunks[0])
+            jax.block_until_ready(out)
+            t0 = time.time()
+            outs = [tr(*c) for c in chunks]
+            rays = sum(int(o[1]) for o in outs)
+            dt = time.time() - t0
+            mrays = rays / dt / 1e6
+            s = sum(float(o[0]) for o in outs)
             print(f"{name} anyhit={anyhit}: {mrays:.2f} Mrays/s "
-                  f"({dt*1e3:.1f} ms, rays={int(rays)}, sum={float(s):.1f})")
+                  f"({dt*1e3:.1f} ms, rays={rays}, sum={s:.1f})")
         except Exception as e:
             print(f"{name} anyhit={anyhit}: FAILED {str(e)[:160]}")
 
