@@ -197,6 +197,21 @@ def run_closest_hit(name, r=1 << 20, chunks=4, **scene_kw):
     jax.block_until_ready(rays)
     out = ch(*rays[0])
     jax.block_until_ready(out)
+
+    # correctness gate: a miscompiled fast path must never record a
+    # number — compare a 4096-ray sample against the XLA wide walk and
+    # fail the ladder rung on mismatch (a compiled-Pallas wrong-result
+    # regression was caught exactly this way in round 4)
+    if scene.intersector != "wide":
+        ref_scene, _c2, _r2, _i2 = examples.build(name)
+        o_s, d_s = (rays[0][0][:4096], rays[0][1][:4096])
+        t_fast = closest_hit(scene, o_s, d_s).t
+        t_ref = closest_hit(ref_scene, o_s, d_s).t
+        ok = jnp.mean((jnp.abs(t_fast - t_ref) < 1e-3).astype(jnp.float32))
+        if float(ok) < 0.999:
+            raise RuntimeError(
+                f"{name}: fast intersector disagrees with wide walk on "
+                f"{(1 - float(ok)) * 100:.2f}% of sample rays")
     t0 = time.time()
     outs = [ch(*c) for c in rays]
     jax.block_until_ready(outs)

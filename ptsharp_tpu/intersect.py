@@ -422,10 +422,37 @@ def closest_hit(scene: SceneData, org, dirn, t_max=None) -> Hit:
         tmin = jnp.min(ts, axis=1)
         take(tmin, PT_CYLINDER, idx.astype(jnp.int32))
 
-    # --- mesh instances, per instance: fixed-depth cluster cull (default)
-    # or the packed skip-link walk -------------------------------------
+    # --- mesh instances ---------------------------------------------------
+    # pallas flat mode: ONE world-space kernel launch covers every
+    # instance (tables pre-baked by pack_flat_tables; slot maps recover
+    # scene triangle + instance ids)
     n_inst = scene.inst_inv.shape[0]
-    if not scene.use_tlas and n_inst > 0:
+    if not scene.use_tlas and n_inst > 0 and scene.intersector == "pallas" \
+            and scene.p_flat:
+        if scene.p_hbm:
+            from ptsharp_tpu.pallas import hbm_kernel as hk
+
+            t, kslot, u, v = hk.pallas_traverse_hbm8(
+                scene.p_rows, scene.p_leaf, org, dirn, best_t,
+                scene.p_inst_base[0], scene.p_inst_end[0],
+                scene.max_leaf, scene.wide_k,
+            )
+        else:
+            from ptsharp_tpu.pallas import wide_kernel as wk
+
+            t, kslot, u, v = wk.pallas_traverse_wide8(
+                scene.p_rows, scene.p_leaf, org, dirn, best_t,
+                scene.p_inst_base[0], scene.p_inst_end[0],
+                scene.max_leaf, scene.wide_k,
+            )
+        ks = jnp.clip(kslot, 0, scene.p_slot_tri.shape[0] - 1)
+        take(t, PT_TRIANGLE, scene.p_slot_tri[ks],
+             inst=scene.p_slot_inst[ks], u=u, v=v)
+
+    # per instance: fixed-depth cluster cull, packed skip-link walk, wide
+    # walk, or per-instance pallas (non-flat fallback) ----------------------
+    if not scene.use_tlas and n_inst > 0 and not (
+            scene.intersector == "pallas" and scene.p_flat):
         from ptsharp_tpu.accel import cluster as cluster_mod
 
         tpc = scene.cluster_rows.shape[1] // 9 if scene.cluster_rows.size else 0
@@ -581,7 +608,28 @@ def occlusion_query(scene: SceneData, org, dirn, t_cut) -> jnp.ndarray:
             occ = occ | jnp.any(ts < tc[:, None], axis=1)
 
         n_inst = scene.inst_inv.shape[0]
-        if n_inst > 0 and scene.tri_v0.shape[0] > 0:
+        if n_inst > 0 and scene.tri_v0.shape[0] > 0 \
+                and scene.intersector == "pallas" and scene.p_flat:
+            # flat tables: one world-space any-hit/bounded launch
+            if scene.p_hbm:
+                from ptsharp_tpu.pallas import hbm_kernel as hk
+
+                t, _s, _u, _v = hk.pallas_traverse_hbm8(
+                    scene.p_rows, scene.p_leaf, org, dirn, cut(),
+                    scene.p_inst_base[0], scene.p_inst_end[0],
+                    scene.max_leaf, scene.wide_k,
+                )
+                occ = occ | (t < INF)
+            else:
+                from ptsharp_tpu.pallas import wide_kernel as wk
+
+                occ_i = wk.pallas_occluded_wide8(
+                    scene.p_rows, scene.p_leaf, org, dirn, cut(),
+                    scene.p_inst_base[0], scene.p_inst_end[0],
+                    scene.max_leaf, scene.wide_k,
+                )
+                occ = occ | occ_i
+        elif n_inst > 0 and scene.tri_v0.shape[0] > 0:
             for i in range(n_inst):
                 inv = scene.inst_inv[i]
                 o = _xform_point(inv[None], org)

@@ -40,7 +40,12 @@ BLK = 64  # rows per cache block (32 KB DMA)
 def _kernel8_hbm(rows_ref, leaf_ref, org_ref, dir_ref, tmax_ref,
                  t_ref, slot_ref, u_ref, v_ref,
                  ncache, lcache, nscr, lscr, nblk_s, lblk_s, nsem, lsem,
-                 *, base, end, leaf_size, k, max_iters, n_lblk):
+                 *, base, end, leaf_size, k, max_iters, n_lblk,
+                 leaf_mode=0):
+    # leaf_mode: 0 = tag-cached leaf blocks (production), 1 = fetch every
+    # iteration with parallel start/wait loops, 2 = fetch every iteration
+    # serially (start+wait per group) — debug knobs for isolating the
+    # compiled-DMA behavior.
     G, L = 8, 128
     # cached-block state lives in SMEM scalars, not loop carries: Mosaic's
     # layout inference rejects (G, ...) i32 vector carries whose init is a
@@ -136,30 +141,42 @@ def _kernel8_hbm(rows_ref, leaf_ref, org_ref, dir_ref, tmax_ref,
             jnp.where(cg[g] > 0, bits[g, 6] // leaf_size, 0), lmax)
             for g in range(G)]
         lbg = [ljg[g] // BLK for g in range(G)]
-        for g in range(G):
-            need = (cg[g] > 0) & (lbg[g] != lblk_s[g])
+        if leaf_mode == 2:
+            for g in range(G):
+                @pl.when(cg[g] > 0)
+                def _(g=g, bg=lbg[g]):
+                    cp = pltpu.make_async_copy(
+                        leaf_ref.at[pl.ds(bg * BLK, BLK)],
+                        lcache.at[pl.ds(g * BLK, BLK)],
+                        lsem.at[g])
+                    cp.start()
+                    cp.wait()
+        else:
+            def lneed(g):
+                if leaf_mode == 1:
+                    return cg[g] > 0
+                return (cg[g] > 0) & (lbg[g] != lblk_s[g])
 
-            @pl.when(need)
-            def _(g=g, bg=lbg[g]):
-                pltpu.make_async_copy(
-                    leaf_ref.at[pl.ds(bg * BLK, BLK)],
-                    lcache.at[pl.ds(g * BLK, BLK)],
-                    lsem.at[g],
-                ).start()
-        for g in range(G):
-            need = (cg[g] > 0) & (lbg[g] != lblk_s[g])
-
-            @pl.when(need)
-            def _(g=g, bg=lbg[g]):
-                pltpu.make_async_copy(
-                    leaf_ref.at[pl.ds(bg * BLK, BLK)],
-                    lcache.at[pl.ds(g * BLK, BLK)],
-                    lsem.at[g],
-                ).wait()
-        for g in range(G):
-            @pl.when(cg[g] > 0)
-            def _(g=g, bg=lbg[g]):
-                lblk_s[g] = bg
+            for g in range(G):
+                @pl.when(lneed(g))
+                def _(g=g, bg=lbg[g]):
+                    pltpu.make_async_copy(
+                        leaf_ref.at[pl.ds(bg * BLK, BLK)],
+                        lcache.at[pl.ds(g * BLK, BLK)],
+                        lsem.at[g],
+                    ).start()
+            for g in range(G):
+                @pl.when(lneed(g))
+                def _(g=g, bg=lbg[g]):
+                    pltpu.make_async_copy(
+                        leaf_ref.at[pl.ds(bg * BLK, BLK)],
+                        lcache.at[pl.ds(g * BLK, BLK)],
+                        lsem.at[g],
+                    ).wait()
+            for g in range(G):
+                @pl.when(cg[g] > 0)
+                def _(g=g, bg=lbg[g]):
+                    lblk_s[g] = bg
 
         for g in range(G):
             lscr[g, :] = lcache[g * BLK + ljg[g] % BLK]
@@ -238,10 +255,225 @@ def _kernel8_hbm(rows_ref, leaf_ref, org_ref, dir_ref, tmax_ref,
     v_ref[0, :] = bv.reshape(G * L)
 
 
+def _kernel8_hbm_row(rows_ref, leaf_ref, org_ref, dir_ref, tmax_ref,
+                     t_ref, slot_ref, u_ref, v_ref,
+                     nscr, lscr, nsem,
+                     *, base, end, leaf_size, k, max_iters, n_lblk):
+    # ONE DMA semaphore array serves both node and leaf copies (they never
+    # overlap: node start/wait completes before leaf start/wait begins)
+    lsem = nsem
+    """Row-DMA variant: every iteration copies each group's node row (and
+    leaf row when at a leaf) straight from HBM into the (8, 128) row
+    tiles — no block cache, no tags. Baseline for validating the
+    streaming path's correctness and DMA cost."""
+    G, L = 8, 128
+    ox = org_ref[0, :].reshape(G, L)
+    oy = org_ref[1, :].reshape(G, L)
+    oz = org_ref[2, :].reshape(G, L)
+    dx = dir_ref[0, :].reshape(G, L)
+    dy = dir_ref[1, :].reshape(G, L)
+    dz = dir_ref[2, :].reshape(G, L)
+
+    def safe_inv(d):
+        return 1.0 / jnp.where(jnp.abs(d) < 1e-30,
+                               jnp.where(d < 0, -1e-30, 1e-30), d)
+
+    ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+
+    def cond(s):
+        cur, it, bt, bs, bu, bv = s
+        return jnp.logical_and(jnp.any(cur < end), it < max_iters)
+
+    def body(s):
+        cur, it, bt, bs, bu, bv = s
+        active = cur < end
+        j = jnp.minimum(cur, end - 1)
+        jg = [j[g, 0] for g in range(G)]
+        for g in range(G):
+            pltpu.make_async_copy(
+                rows_ref.at[jg[g]], nscr.at[g], nsem.at[g]).start()
+        for g in range(G):
+            pltpu.make_async_copy(
+                rows_ref.at[jg[g]], nscr.at[g], nsem.at[g]).wait()
+        nrow = nscr[:]
+        bits = jax.lax.bitcast_convert_type(nrow, jnp.int32)
+        first = bits[:, 6:7]
+        cnt = bits[:, 7:8] & 0xFF
+        skip = bits[:, 8:9]
+        is_leaf = cnt > 0
+
+        def slab(lo_col, hi_col):
+            lox = (nrow[:, lo_col + 0:lo_col + 1] - ox) * ix
+            loy = (nrow[:, lo_col + 1:lo_col + 2] - oy) * iy
+            loz = (nrow[:, lo_col + 2:lo_col + 3] - oz) * iz
+            hix = (nrow[:, hi_col + 0:hi_col + 1] - ox) * ix
+            hiy = (nrow[:, hi_col + 1:hi_col + 2] - oy) * iy
+            hiz = (nrow[:, hi_col + 2:hi_col + 3] - oz) * iz
+            tmin = jnp.maximum(
+                jnp.maximum(jnp.minimum(lox, hix), jnp.minimum(loy, hiy)),
+                jnp.minimum(loz, hiz),
+            )
+            tmax = jnp.minimum(
+                jnp.minimum(jnp.maximum(lox, hix), jnp.maximum(loy, hiy)),
+                jnp.maximum(loz, hiz),
+            )
+            return tmin, tmax
+
+        tmin, tmax = slab(0, 3)
+        box_hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < bt) & active
+        leaf_ok = box_hit & is_leaf
+
+        lmax = n_lblk * BLK - 1
+        cg = [bits[g, 7] & 0xFF for g in range(G)]
+        ljg = [jnp.minimum(
+            jnp.where(cg[g] > 0, bits[g, 6] // leaf_size, 0), lmax)
+            for g in range(G)]
+        for g in range(G):
+            pltpu.make_async_copy(
+                leaf_ref.at[ljg[g]], lscr.at[g], lsem.at[g]).start()
+        for g in range(G):
+            pltpu.make_async_copy(
+                leaf_ref.at[ljg[g]], lscr.at[g], lsem.at[g]).wait()
+        blkrow = lscr[:]
+
+        for l in range(leaf_size):
+            c = l * 9
+            v0x = blkrow[:, c + 0:c + 1]
+            v0y = blkrow[:, c + 1:c + 2]
+            v0z = blkrow[:, c + 2:c + 3]
+            e1x = blkrow[:, c + 3:c + 4]
+            e1y = blkrow[:, c + 4:c + 5]
+            e1z = blkrow[:, c + 5:c + 6]
+            e2x = blkrow[:, c + 6:c + 7]
+            e2y = blkrow[:, c + 7:c + 8]
+            e2z = blkrow[:, c + 8:c + 9]
+            hx = dy * e2z - dz * e2y
+            hy = dz * e2x - dx * e2z
+            hz = dx * e2y - dy * e2x
+            det = e1x * hx + e1y * hy + e1z * hz
+            inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+            sx = ox - v0x
+            sy = oy - v0y
+            sz = oz - v0z
+            uu = (sx * hx + sy * hy + sz * hz) * inv_det
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            vv = (dx * qx + dy * qy + dz * qz) * inv_det
+            tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            got = (
+                leaf_ok
+                & (jnp.abs(det) > 1e-12)
+                & (uu >= 0.0) & (uu <= 1.0)
+                & (vv >= 0.0) & (uu + vv <= 1.0)
+                & (tt > 1e-4)
+                & (tt < bt)
+            )
+            bt = jnp.where(got, tt, bt)
+            bs = jnp.where(got, first + l, bs)
+            bu = jnp.where(got, uu, bu)
+            bv = jnp.where(got, vv, bv)
+
+        target = jnp.full((G, L), BIG, jnp.int32)
+        for c in range(k):
+            cb = 9 + 6 * c
+            ctmin, ctmax = slab(cb, cb + 3)
+            cidx = bits[:, 9 + 6 * k + c:9 + 6 * k + c + 1]
+            chit = (
+                (ctmax >= jnp.maximum(ctmin, 0.0))
+                & (ctmin < bt)
+                & (cidx > 0)
+            )
+            target = jnp.where(chit & (cidx < target), cidx, target)
+
+        descend = box_hit & jnp.logical_not(is_leaf)
+        ray_next = jnp.where(descend & (target < BIG), target,
+                             jnp.broadcast_to(skip, (G, L)))
+        nxt = jnp.min(ray_next, axis=1, keepdims=True)
+        cur = jnp.where(active, nxt, cur)
+        return cur, it + 1, bt, bs, bu, bv
+
+    t0 = tmax_ref[0, :].reshape(G, L)
+    init = (
+        jnp.full((G, 1), base, jnp.int32), jnp.int32(0), t0,
+        jnp.full((G, L), -1, jnp.int32),
+        jnp.zeros((G, L), jnp.float32),
+        jnp.zeros((G, L), jnp.float32),
+    )
+    _, _, bt, bs, bu, bv = jax.lax.while_loop(cond, body, init)
+    t_ref[0, :] = jnp.where(bs >= 0, bt, vec.INF).reshape(G * L)
+    slot_ref[0, :] = bs.reshape(G * L)
+    u_ref[0, :] = bu.reshape(G * L)
+    v_ref[0, :] = bv.reshape(G * L)
+
+
+def pallas_traverse_hbm8_row(rows, leaf, org, dirn, t_max,
+                             base: int, end: int,
+                             leaf_size: int, k: int,
+                             max_iters: int | None = None,
+                             interpret: bool | None = None):
+    """Row-DMA streaming closest-hit (see _kernel8_hbm_row)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if max_iters is None:
+        max_iters = int(end) - int(base)
+    tile = 1024
+    org = jax.lax.stop_gradient(org)
+    dirn = jax.lax.stop_gradient(dirn)
+    r = org.shape[0]
+    tm = jnp.broadcast_to(
+        jax.lax.stop_gradient(jnp.asarray(t_max, jnp.float32)), (r,)
+    )
+    pad = (-r) % tile
+    if pad:
+        org = jnp.concatenate([org, jnp.zeros((pad, 3), org.dtype)])
+        dirn = jnp.concatenate([dirn, jnp.ones((pad, 3), dirn.dtype)])
+        tm = jnp.concatenate([tm, jnp.full((pad,), -vec.INF, jnp.float32)])
+    rp = r + pad
+    n_tiles = rp // tile
+    org_t = org.T.reshape(3, rp)
+    dir_t = dirn.T.reshape(3, rp)
+    tm2 = tm.reshape(1, rp)
+    kern = functools.partial(
+        _kernel8_hbm_row, base=int(base), end=int(end),
+        leaf_size=int(leaf_size), k=int(k), max_iters=int(max_iters),
+        n_lblk=max(leaf.shape[0] // BLK, 1),
+    )
+    out_shapes = (
+        jax.ShapeDtypeStruct((1, rp), jnp.float32),
+        jax.ShapeDtypeStruct((1, rp), jnp.int32),
+        jax.ShapeDtypeStruct((1, rp), jnp.float32),
+        jax.ShapeDtypeStruct((1, rp), jnp.float32),
+    )
+    ray_spec = pl.BlockSpec((3, tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    t, slot, u, v = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        out_shape=out_shapes,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            ray_spec, ray_spec, row_spec,
+        ],
+        out_specs=(row_spec, row_spec, row_spec, row_spec),
+        scratch_shapes=[
+            pltpu.VMEM((8, 128), jnp.float32),
+            pltpu.VMEM((8, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((8,)),
+        ],
+        interpret=interpret,
+    )(rows, leaf, org_t, dir_t, tm2)
+    return t[0, :r], slot[0, :r], u[0, :r], v[0, :r]
+
+
 def pallas_traverse_hbm8(rows, leaf, org, dirn, t_max, base: int, end: int,
                          leaf_size: int, k: int,
                          max_iters: int | None = None,
-                         interpret: bool | None = None):
+                         interpret: bool | None = None,
+                         leaf_mode: int = 0):
     """Closest-hit over [base, end) wide rows with HBM-resident tables.
     Same contract as wide_kernel.pallas_traverse_wide8; rows/leaf must be
     padded to BLK-row multiples (scene.build's HBM path guarantees it)."""
@@ -272,7 +504,7 @@ def pallas_traverse_hbm8(rows, leaf, org, dirn, t_max, base: int, end: int,
     kern = functools.partial(
         _kernel8_hbm, base=int(base), end=int(end),
         leaf_size=int(leaf_size), k=int(k), max_iters=int(max_iters),
-        n_lblk=leaf.shape[0] // BLK,
+        n_lblk=leaf.shape[0] // BLK, leaf_mode=int(leaf_mode),
     )
     out_shapes = (
         jax.ShapeDtypeStruct((1, rp), jnp.float32),
@@ -289,8 +521,13 @@ def pallas_traverse_hbm8(rows, leaf, org, dirn, t_max, base: int, end: int,
         grid=(n_tiles,),
         out_shape=out_shapes,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # node rows (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),   # leaf rows (HBM)
+            # explicit HBM (not ANY): with ~VMEM-sized tables the compiler
+            # may place one ANY input in VMEM, and the block DMAs then read
+            # garbage for the other (measured on-chip: node fetches fine,
+            # leaf fetches zero -> no hits). Pinning both to HBM makes
+            # every copy an HBM->VMEM DMA.
+            pl.BlockSpec(memory_space=pltpu.HBM),   # node rows
+            pl.BlockSpec(memory_space=pltpu.HBM),   # leaf rows
             ray_spec, ray_spec, row_spec,
         ],
         out_specs=(row_spec, row_spec, row_spec, row_spec),

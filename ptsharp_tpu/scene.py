@@ -58,7 +58,7 @@ _DATA_FIELDS = [
     "u_bmin", "u_bmax", "u_first", "u_count", "u_kind", "u_skip",
     "u_rows", "leaf_rows",
     "w_rows", "w_inst_base", "w_inst_end",
-    "p_rows", "p_leaf",
+    "p_rows", "p_leaf", "p_slot_tri", "p_slot_inst",
     "cluster_bmin", "cluster_bmax", "cluster_rows",
     "inst_cluster_base", "inst_cluster_end",
     "u_inst_base", "u_inst_end",
@@ -74,7 +74,7 @@ _META_FIELDS = [
     "sdf_objects", "volumes", "functions", "sphere_xform", "cube_xform",
     "cyl_xform", "max_leaf", "env_texture", "has_surface_maps",
     "tlas_end", "use_tlas", "intersector", "wide_k", "w_tlas_end",
-    "p_inst_base", "p_inst_end", "light_types", "p_hbm",
+    "p_inst_base", "p_inst_end", "light_types", "p_hbm", "p_flat",
 ]
 
 
@@ -162,6 +162,10 @@ class SceneData:
     # one 128-lane VMEM row (pallas/wide_kernel.py). Empty otherwise.
     p_rows: jnp.ndarray        # (Nw, 128)
     p_leaf: jnp.ndarray        # (NL, 128)
+    # flat-table slot maps (p_flat): kernel leaf slot -> scene triangle
+    # slot / instance id (-1 = padding). Empty in per-instance mode.
+    p_slot_tri: jnp.ndarray    # (NL * leaf_size,) i32
+    p_slot_inst: jnp.ndarray   # (NL * leaf_size,) i32
     # cluster tables for the fixed-depth cull intersector: GROUP consecutive
     # leaf rows form one cluster; cluster_rows is a reshape of leaf_rows so
     # cluster c's triangles occupy slots [c*G*leaf, (c+1)*G*leaf)
@@ -226,6 +230,9 @@ class SceneData:
     p_hbm: bool  # pallas tables exceed VMEM: stream 64-row blocks from
     # HBM through per-packet caches (pallas/hbm_kernel.py) instead of the
     # VMEM-resident kernel
+    p_flat: bool  # pallas tables are ONE world-space tree over all
+    # instances (kernel slots map through p_slot_tri/p_slot_inst); False =
+    # per-mesh tables with per-instance object-space dispatch
 
     @property
     def num_lights(self) -> int:
@@ -494,6 +501,7 @@ class SceneBuilder:
         cl_bmin_l = []    # (n_clusters, 3) cluster AABBs
         cl_bmax_l = []
         mesh_node_range = []  # per mesh: (base, end)
+        mesh_slot_range = []  # per mesh: scene slot range [lo, hi)
         mesh_cluster_range = []  # per mesh: (cbase, cend)
         mesh_root_bounds = []  # per mesh: (lo, hi) of the BVH root
         mesh_wide = []  # per mesh: WideBVH (K-wide collapse of the BLAS)
@@ -591,6 +599,8 @@ class SceneBuilder:
             # advance by the PADDED leaf count: leaf_rows/tri arrays carry
             # nlp = nl + lpad leaves for this mesh, so the next mesh's slot
             # indices must start after the padding too
+            mesh_slot_range.append((slot_offset,
+                                    slot_offset + nlp * leaf_size))
             slot_offset += nlp * leaf_size
             node_offset += flat.bmin.shape[0]
 
@@ -740,38 +750,66 @@ class SceneBuilder:
         # TLAS head), one node per 128-lane row; leaf rows lane-padded the
         # same way. Slot indices are the scene's (identity slot map).
         p_hbm = False
-        if intersector == "pallas":
+        p_flat = False
+        p_slot_tri = np.zeros(0, np.int32)
+        p_slot_inst = np.zeros(0, np.int32)
+        # flattening cap: instances are baked to world space, so memory
+        # scales with the SUM of instanced triangle counts
+        FLAT_TRI_CAP = 4_000_000
+        if intersector == "pallas" and self._instances:
+            from ptsharp_tpu.pallas import wide_kernel as wk_mod
+            from ptsharp_tpu.pallas.hbm_kernel import BLK
             from ptsharp_tpu.pallas.wide_kernel import VMEM_TABLE_BUDGET
 
-            n_rows_est = sum(w.bmin.shape[0] for w in mesh_wide) \
-                + leaf_rows.shape[0]
-            # budget = the measured-good ceiling (wide_kernel.py), kept in
-            # one place so build-time dispatch and fits_vmem() agree.
-            # Beyond it the tables stay in HBM and the streaming kernel
-            # (pallas/hbm_kernel.py) takes over — no more XLA-walk
-            # fallback for dragon-class meshes.
-            p_hbm = n_rows_est * 128 * 4 > VMEM_TABLE_BUDGET
-        if intersector == "pallas":
-            p_parts = []
-            p_range = []
-            p_off = 0
-            for wmesh in mesh_wide:
-                base_rows = wide_mod.pack_rows(wmesh, p_off)
-                nwm = base_rows.shape[0]
-                padded = np.zeros((nwm, 128), np.float32)
-                padded[:, :base_rows.shape[1]] = base_rows
-                p_parts.append(padded)
-                p_range.append((p_off, p_off + nwm))
-                p_off += nwm
-            p_rows = (np.concatenate(p_parts) if p_parts
-                      else np.zeros((0, 128), np.float32))
-            p_leaf = np.zeros((leaf_rows.shape[0], 128), np.float32)
-            p_leaf[:, :leaf_rows.shape[1]] = leaf_rows
+            e1n = (tv[:, 1] - tv[:, 0]).astype(np.float32)
+            e2n = (tv[:, 2] - tv[:, 0]).astype(np.float32)
+            inst_specs = []
+            tot_flat = 0
+            for iid, (mesh_idx, _inv, world, _over) in enumerate(
+                    self._instances):
+                lo_s, hi_s = mesh_slot_range[mesh_idx]
+                inst_specs.append((lo_s, hi_s, world, iid))
+                tot_flat += hi_s - lo_s
+            p_flat = tot_flat <= FLAT_TRI_CAP
+            if p_flat:
+                # ONE world-space tree over all instances: a single kernel
+                # launch serves every mesh instance (no per-instance
+                # unroll; wide_kernel.pack_flat_tables docstring)
+                p_rows, p_leaf, p_slot_tri, p_slot_inst = \
+                    wk_mod.pack_flat_tables(
+                        tv[:, 0].astype(np.float32), e1n, e2n,
+                        inst_specs, leaf_size, wide_k)
+                p_inst_b = (0,)
+                p_inst_e = (int(p_rows.shape[0]),)
+            else:
+                # per-mesh tables, per-instance dispatch (object-space
+                # rays re-enter each BLAS)
+                p_parts = []
+                p_range = []
+                p_off = 0
+                for wmesh in mesh_wide:
+                    base_rows = wide_mod.pack_rows(wmesh, p_off)
+                    nwm = base_rows.shape[0]
+                    padded = np.zeros((nwm, 128), np.float32)
+                    padded[:, :base_rows.shape[1]] = base_rows
+                    p_parts.append(padded)
+                    p_range.append((p_off, p_off + nwm))
+                    p_off += nwm
+                p_rows = (np.concatenate(p_parts) if p_parts
+                          else np.zeros((0, 128), np.float32))
+                p_leaf = np.zeros((leaf_rows.shape[0], 128), np.float32)
+                p_leaf[:, :leaf_rows.shape[1]] = leaf_rows
+                p_inst_b = tuple(int(p_range[mi][0])
+                                 for mi, *_ in self._instances)
+                p_inst_e = tuple(int(p_range[mi][1])
+                                 for mi, *_ in self._instances)
+            # beyond the VMEM budget the tables stay in HBM and the
+            # streaming kernel (pallas/hbm_kernel.py) takes over — no more
+            # XLA-walk fallback for dragon-class meshes
+            p_hbm = (p_rows.size + p_leaf.size) * 4 > VMEM_TABLE_BUDGET
             if p_hbm:
                 # the streaming kernel DMAs whole 64-row blocks: pad both
                 # tables to a block multiple (zero rows are never reached)
-                from ptsharp_tpu.pallas.hbm_kernel import BLK
-
                 def _pad_blk(a):
                     padr = (-a.shape[0]) % BLK
                     if padr:
@@ -781,10 +819,6 @@ class SceneBuilder:
 
                 p_rows = _pad_blk(p_rows)
                 p_leaf = _pad_blk(p_leaf)
-            p_inst_b = tuple(int(p_range[mi][0])
-                             for mi, *_ in self._instances)
-            p_inst_e = tuple(int(p_range[mi][1])
-                             for mi, *_ in self._instances)
         else:
             p_rows = np.zeros((0, 128), np.float32)
             p_leaf = np.zeros((0, 128), np.float32)
@@ -939,6 +973,8 @@ class SceneBuilder:
             w_inst_end=jnp.asarray(w_inst_e),
             p_rows=jnp.asarray(p_rows),
             p_leaf=jnp.asarray(p_leaf),
+            p_slot_tri=jnp.asarray(p_slot_tri),
+            p_slot_inst=jnp.asarray(p_slot_inst),
             cluster_bmin=jnp.asarray(cl_bmin),
             cluster_bmax=jnp.asarray(cl_bmax),
             cluster_rows=jnp.asarray(cluster_rows),
@@ -986,6 +1022,7 @@ class SceneBuilder:
             p_inst_end=p_inst_e,
             light_types=tuple(sorted({lt[0] for lt in self._lights})),
             p_hbm=bool(p_hbm),
+            p_flat=bool(p_flat),
             has_surface_maps=any(
                 m.normal_texture >= 0 or m.bump_texture >= 0
                 for m in self._materials

@@ -45,14 +45,14 @@ def test_anyhit_kernel_matches_closest_hit_boolean():
     t_cut = jnp.asarray(
         np.where(rng.random(512) < 0.1, -1.0,
                  rng.uniform(0.2, 6.0, 512)).astype(np.float32))
-    for i in range(2):
+    # flat tables: one range covers every instance
+    for b0, e0 in zip(sp.p_inst_base, sp.p_inst_end):
         t_ref, _s, _u, _v = wk.pallas_traverse_wide(
             sp.p_rows, sp.p_leaf, org, d, t_cut,
-            sp.p_inst_base[i], sp.p_inst_end[i], sp.max_leaf, sp.wide_k,
-            tile=256)
+            b0, e0, sp.max_leaf, sp.wide_k, tile=256)
         occ = wk.pallas_occluded_wide8(
             sp.p_rows, sp.p_leaf, org, d, t_cut,
-            sp.p_inst_base[i], sp.p_inst_end[i], sp.max_leaf, sp.wide_k)
+            b0, e0, sp.max_leaf, sp.wide_k)
         np.testing.assert_array_equal(
             np.asarray(occ), np.asarray(t_ref) < 1e8)
 

@@ -38,7 +38,11 @@ def _rays(n, seed=0):
 
 
 def test_wide_pallas_matches_walk_raw():
+    """Raw kernel vs XLA walk. The pallas tables are now the FLAT
+    world-space tree (one tree over all instances) whose kernel slots map
+    through p_slot_tri back to scene slots."""
     sp = _builder().build(leaf_size=8, intersector="pallas", wide_k=8)
+    assert sp.p_flat
     org, d = _rays(512)
     from ptsharp_tpu.accel.traverse import traverse_packed
 
@@ -53,7 +57,8 @@ def test_wide_pallas_matches_walk_raw():
                                rtol=1e-5, atol=1e-5)
     hit = np.asarray(t_ref) < 1e8
     assert hit.sum() > 50
-    np.testing.assert_array_equal(np.asarray(s)[hit], np.asarray(s_ref)[hit])
+    s_mapped = np.asarray(sp.p_slot_tri)[np.clip(np.asarray(s), 0, None)]
+    np.testing.assert_array_equal(s_mapped[hit], np.asarray(s_ref)[hit])
     np.testing.assert_allclose(np.asarray(u)[hit], np.asarray(u_ref)[hit],
                                rtol=1e-4, atol=1e-5)
 
@@ -73,7 +78,8 @@ def test_wide_pallas8_matches_walk():
                                rtol=1e-5, atol=1e-5)
     hit = np.asarray(t_ref) < 1e8
     assert hit.sum() > 100
-    np.testing.assert_array_equal(np.asarray(s)[hit], np.asarray(s_ref)[hit])
+    s_mapped = np.asarray(sp.p_slot_tri)[np.clip(np.asarray(s), 0, None)]
+    np.testing.assert_array_equal(s_mapped[hit], np.asarray(s_ref)[hit])
     np.testing.assert_allclose(np.asarray(u)[hit], np.asarray(u_ref)[hit],
                                rtol=1e-4, atol=1e-5)
 
@@ -139,23 +145,32 @@ def test_wide_pallas_render_smoke():
                                rtol=1e-4, atol=1e-5)
 
 
-def test_pallas_vmem_fallback():
-    """Oversized meshes fall back to the wide walk with a warning instead
-    of failing at kernel compile (tables must be VMEM-resident)."""
-    import warnings
-
+def test_pallas_oversized_goes_hbm():
+    """Oversized tables no longer fall back to the XLA walk: they stay on
+    the pallas path with HBM-resident tables streamed by
+    pallas/hbm_kernel.py (BLK-padded), and closest-hit still matches."""
     from ptsharp_tpu.geometry.mesh import sphere_mesh
     from ptsharp_tpu.materials import diffuse_material
+    from ptsharp_tpu.pallas.hbm_kernel import BLK
     from ptsharp_tpu.scene import SceneBuilder
 
     b2 = SceneBuilder()
     b2.add_mesh(sphere_mesh([0, 0, 0], 1.0, subdivisions=6),
                 diffuse_material([0.5, 0.5, 0.5]))  # 81,920 tris
-    with warnings.catch_warnings(record=True) as w2:
-        warnings.simplefilter("always")
-        s2 = b2.build(leaf_size=1, intersector="pallas", wide_k=8)
-    assert s2.intersector == "wide"
-    assert any("VMEM budget" in str(x.message) for x in w2)
+    s2 = b2.build(leaf_size=1, intersector="pallas", wide_k=8)
+    assert s2.intersector == "pallas"
+    assert s2.p_hbm
+    assert s2.p_rows.shape[0] % BLK == 0
+    assert s2.p_leaf.shape[0] % BLK == 0
+    b3 = SceneBuilder()
+    b3.add_mesh(sphere_mesh([0, 0, 0], 1.0, subdivisions=6),
+                diffuse_material([0.5, 0.5, 0.5]))
+    s3 = b3.build(leaf_size=1)  # wide-walk reference
+    org, d = _rays(256, seed=13)
+    h = closest_hit(s2, org, d)
+    h_ref = closest_hit(s3, org, d)
+    np.testing.assert_allclose(np.asarray(h.t), np.asarray(h_ref.t),
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_pallas_tables_budget():
@@ -165,3 +180,51 @@ def test_pallas_tables_budget():
     tabs = PallasTables(sp.p_rows, sp.p_leaf, None, None, None,
                         sp.max_leaf, sp.wide_k)
     assert fits_vmem(tabs)
+
+
+def test_flat_tables_instancing_parity():
+    """Instancing scenes (reference toybrick/go class, Example.cs:1229,
+    :248) run ONE flat world-space kernel launch: closest-hit must match
+    the TLAS wide-walk build (pindex/inst map through the slot tables)."""
+    from ptsharp_tpu.core import transform
+    from ptsharp_tpu.geometry.mesh import cube_mesh
+
+    def build_wall(**bkw):
+        b = SceneBuilder()
+        brick = cube_mesh([0, 0, 0], [1.9, 0.9, 0.9])
+        mid = None
+        for r_ in range(3):
+            for c_ in range(4):
+                t = transform.translate(
+                    [c_ * 2.0 + (1.0 if r_ % 2 else 0.0) - 4, r_ * 1.0, 0])
+                mat = diffuse_material([0.2 + 0.2 * c_, 0.3, 0.8 - 0.2 * r_])
+                if mid is None:
+                    mid = b.add_mesh(brick, mat, transform=t)
+                else:
+                    b.add_mesh_instance(mid, transform=t, material=mat)
+        b.add_plane([0, 0, 0], [0, 1, 0], diffuse_material([0.7, 0.7, 0.7]))
+        return b.build(leaf_size=4, **bkw)
+
+    sw = build_wall()
+    sp = build_wall(intersector="pallas", wide_k=8)
+    assert sp.p_flat and len(sp.p_inst_base) == 1
+    rng = np.random.default_rng(21)
+    n = 512
+    org = jnp.asarray(
+        rng.uniform(-1, 1, (n, 3)).astype(np.float32) * [6, 2, 3]
+        + [0, 1.5, -8])
+    tgt = jnp.asarray(
+        rng.uniform(-1, 1, (n, 3)).astype(np.float32) * [4, 1.5, 0.4]
+        + [0, 1.5, 0.5])
+    d = tgt - org
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    h_ref = closest_hit(sw, org, d)
+    h = closest_hit(sp, org, d)
+    np.testing.assert_allclose(np.asarray(h.t), np.asarray(h_ref.t),
+                               rtol=1e-4, atol=1e-4)
+    hit = (np.asarray(h_ref.ptype) == 5) & (np.asarray(h_ref.t) < 1e8)
+    assert hit.sum() > 50
+    np.testing.assert_array_equal(np.asarray(h.inst)[hit],
+                                  np.asarray(h_ref.inst)[hit])
+    np.testing.assert_array_equal(np.asarray(h.pindex)[hit],
+                                  np.asarray(h_ref.pindex)[hit])

@@ -59,25 +59,34 @@ def _rays(n, seed=0):
 
 
 def test_compiled_wide8_matches_xla_walk():
+    """Compiled flat-table kernel vs the XLA wide walk union over both
+    instances (t parity + slot parity through the p_slot_tri map)."""
+    import jax.numpy as jnp
+
     from ptsharp_tpu.accel.traverse import traverse_wide_chunked
     from ptsharp_tpu.core import vec
     from ptsharp_tpu.pallas import wide_kernel as wk
 
     sp = _scene()
     org, d = _rays(4096)
+    t_ref = jnp.full((4096,), vec.INF)
+    s_ref = jnp.full((4096,), -1, jnp.int32)
     for i in range(2):
-        t_ref, s_ref, _u, _v = traverse_wide_chunked(
-            sp.w_rows, sp.leaf_rows, org, d, vec.INF,
+        ti, si, _u, _v = traverse_wide_chunked(
+            sp.w_rows, sp.leaf_rows, org, d, t_ref,
             sp.w_inst_base[i], sp.w_inst_end[i], sp.max_leaf, sp.wide_k)
-        t, s, _u2, _v2 = wk.pallas_traverse_wide8(
-            sp.p_rows, sp.p_leaf, org, d, vec.INF,
-            sp.p_inst_base[i], sp.p_inst_end[i], sp.max_leaf, sp.wide_k,
-            interpret=False)
-        np.testing.assert_allclose(np.asarray(t), np.asarray(t_ref),
-                                   rtol=1e-5, atol=1e-5)
-        hit = np.asarray(t_ref) < 1e8
-        np.testing.assert_array_equal(np.asarray(s)[hit],
-                                      np.asarray(s_ref)[hit])
+        better = ti < t_ref
+        t_ref = jnp.where(better, ti, t_ref)
+        s_ref = jnp.where(better, si, s_ref)
+    t, s, _u2, _v2 = wk.pallas_traverse_wide8(
+        sp.p_rows, sp.p_leaf, org, d, vec.INF,
+        sp.p_inst_base[0], sp.p_inst_end[0], sp.max_leaf, sp.wide_k,
+        interpret=False)
+    np.testing.assert_allclose(np.asarray(t), np.asarray(t_ref),
+                               rtol=1e-5, atol=1e-5)
+    hit = np.asarray(t_ref) < 1e8
+    s_mapped = np.asarray(sp.p_slot_tri)[np.clip(np.asarray(s), 0, None)]
+    np.testing.assert_array_equal(s_mapped[hit], np.asarray(s_ref)[hit])
 
 
 def test_compiled_anyhit_matches_bounded_walk():
@@ -89,20 +98,19 @@ def test_compiled_anyhit_matches_bounded_walk():
     import jax.numpy as jnp
 
     t_cut = jnp.asarray(rng.uniform(0.2, 5.0, 4096).astype(np.float32))
-    for i in range(2):
+    for b0, e0 in zip(sp.p_inst_base, sp.p_inst_end):
         t_ref, _s, _u, _v = wk.pallas_traverse_wide8(
             sp.p_rows, sp.p_leaf, org, d, t_cut,
-            sp.p_inst_base[i], sp.p_inst_end[i], sp.max_leaf, sp.wide_k,
-            interpret=False)
+            b0, e0, sp.max_leaf, sp.wide_k, interpret=False)
         occ = wk.pallas_occluded_wide8(
             sp.p_rows, sp.p_leaf, org, d, t_cut,
-            sp.p_inst_base[i], sp.p_inst_end[i], sp.max_leaf, sp.wide_k,
-            interpret=False)
+            b0, e0, sp.max_leaf, sp.wide_k, interpret=False)
         np.testing.assert_array_equal(np.asarray(occ),
                                       np.asarray(t_ref) < 1e8)
 
 
 def test_compiled_hbm_matches_vmem_kernel():
+    """Small-scene streaming-kernel parity (fast compile)."""
     import jax.numpy as jnp
 
     from ptsharp_tpu.core import vec
@@ -130,3 +138,41 @@ def test_compiled_hbm_matches_vmem_kernel():
     np.testing.assert_allclose(np.asarray(t2), np.asarray(t1), rtol=1e-6)
     hit = np.asarray(t1) < 1e8
     np.testing.assert_array_equal(np.asarray(s2)[hit], np.asarray(s1)[hit])
+
+
+def test_compiled_hbm_matches_vmem_kernel_bunny_scale():
+    """Bunny-scale (82k tris) streaming-kernel parity: the round-4
+    miscompile returned ZERO hits at exactly this scale while passing at
+    small scale — this test is the on-chip regression gate for it."""
+    import jax.numpy as jnp
+
+    from ptsharp_tpu.core import vec
+    from ptsharp_tpu.geometry.mesh import sphere_mesh
+    from ptsharp_tpu.materials import diffuse_material
+    from ptsharp_tpu.pallas import hbm_kernel as hk
+    from ptsharp_tpu.pallas import wide_kernel as wk
+    from ptsharp_tpu.scene import SceneBuilder
+
+    b = SceneBuilder()
+    b.add_mesh(sphere_mesh([0, 0.4, 0], 1.0, subdivisions=6),
+               diffuse_material([0.5, 0.5, 0.5]))
+    sp = b.build(leaf_size=8, intersector="pallas", wide_k=8)
+
+    def pad(a):
+        p = (-a.shape[0]) % hk.BLK
+        if p:
+            return jnp.concatenate([a, jnp.zeros((p, 128), jnp.float32)])
+        return a
+
+    rows, leaf = pad(sp.p_rows), pad(sp.p_leaf)
+    org, d = _rays(4096, seed=4)
+    t1, _s1, _u1, _v1 = wk.pallas_traverse_wide8(
+        sp.p_rows, sp.p_leaf, org, d, vec.INF,
+        sp.p_inst_base[0], sp.p_inst_end[0], sp.max_leaf, sp.wide_k,
+        interpret=False)
+    t2, _s2, _u2, _v2 = hk.pallas_traverse_hbm8(
+        rows, leaf, org, d, vec.INF,
+        sp.p_inst_base[0], sp.p_inst_end[0], sp.max_leaf, sp.wide_k,
+        interpret=False)
+    assert (np.asarray(t1) < 1e8).mean() > 0.1  # rays do hit the mesh
+    np.testing.assert_allclose(np.asarray(t2), np.asarray(t1), rtol=1e-6)
