@@ -188,14 +188,17 @@ def run_closest_hit(name, r=1 << 20, chunks=4, **scene_kw):
         ju, jv = jax.random.uniform(jax.random.fold_in(key, ci), (2, r))
         return cam.cast_rays(px, py, w, h, ju, jv)
 
+    # scene rides as a traced argument, NOT a closure constant: closure
+    # capture embeds the tables in the program and the remote compile
+    # request (dragon_hd's fat table is ~280 MB -> HTTP 413)
     @jax.jit
-    def ch(org, dirn):
-        hit = closest_hit(scene, org, dirn)
+    def ch(scn, org, dirn):
+        hit = closest_hit(scn, org, dirn)
         return jnp.sum(hit.t * (hit.t < 1e9))
 
     rays = [gen(jnp.int32(i)) for i in range(chunks)]
     jax.block_until_ready(rays)
-    out = ch(*rays[0])
+    out = ch(scene, *rays[0])
     jax.block_until_ready(out)
 
     # correctness gate: a miscompiled fast path must never record a
@@ -213,7 +216,7 @@ def run_closest_hit(name, r=1 << 20, chunks=4, **scene_kw):
                 f"{name}: fast intersector disagrees with wide walk on "
                 f"{(1 - float(ok)) * 100:.2f}% of sample rays")
     t0 = time.time()
-    outs = [ch(*c) for c in rays]
+    outs = [ch(scene, *c) for c in rays]
     jax.block_until_ready(outs)
     dt = time.time() - t0
     return chunks * r / dt / 1e6

@@ -432,8 +432,8 @@ def closest_hit(scene: SceneData, org, dirn, t_max=None) -> Hit:
         if scene.p_hbm:
             from ptsharp_tpu.pallas import hbm_kernel as hk
 
-            t, kslot, u, v = hk.pallas_traverse_hbm8(
-                scene.p_rows, scene.p_leaf, org, dirn, best_t,
+            t, kslot, u, v = hk.pallas_traverse_hbm8_fat(
+                scene.p_rows, org, dirn, best_t,
                 scene.p_inst_base[0], scene.p_inst_end[0],
                 scene.max_leaf, scene.wide_k,
             )
@@ -477,12 +477,11 @@ def closest_hit(scene: SceneData, org, dirn, t_max=None) -> Hit:
                 )
             elif scene.intersector == "pallas":
                 if scene.p_hbm:
-                    # larger-than-VMEM tables: stream 64-row blocks from
-                    # HBM through per-packet caches
+                    # larger-than-VMEM tables: fat-row HBM streaming
                     from ptsharp_tpu.pallas import hbm_kernel as hk
 
-                    t, slot, u, v = hk.pallas_traverse_hbm8(
-                        scene.p_rows, scene.p_leaf, o, d, best_t,
+                    t, slot, u, v = hk.pallas_traverse_hbm8_fat(
+                        scene.p_rows, o, d, best_t,
                         scene.p_inst_base[i], scene.p_inst_end[i],
                         scene.max_leaf, scene.wide_k,
                     )
@@ -614,8 +613,8 @@ def occlusion_query(scene: SceneData, org, dirn, t_cut) -> jnp.ndarray:
             if scene.p_hbm:
                 from ptsharp_tpu.pallas import hbm_kernel as hk
 
-                t, _s, _u, _v = hk.pallas_traverse_hbm8(
-                    scene.p_rows, scene.p_leaf, org, dirn, cut(),
+                t, _s, _u, _v = hk.pallas_traverse_hbm8_fat(
+                    scene.p_rows, org, dirn, cut(),
                     scene.p_inst_base[0], scene.p_inst_end[0],
                     scene.max_leaf, scene.wide_k,
                 )
@@ -644,12 +643,12 @@ def occlusion_query(scene: SceneData, org, dirn, t_cut) -> jnp.ndarray:
                     )
                     occ = occ | occ_i
                 elif scene.intersector == "pallas":
-                    # >VMEM tables: bounded closest-hit via the streaming
-                    # kernel (an any-hit streaming variant can follow)
+                    # >VMEM tables: bounded closest-hit via the fat-row
+                    # streaming kernel (an any-hit variant can follow)
                     from ptsharp_tpu.pallas import hbm_kernel as hk
 
-                    t, _s, _u, _v = hk.pallas_traverse_hbm8(
-                        scene.p_rows, scene.p_leaf, o, d, cut(),
+                    t, _s, _u, _v = hk.pallas_traverse_hbm8_fat(
+                        scene.p_rows, o, d, cut(),
                         scene.p_inst_base[i], scene.p_inst_end[i],
                         scene.max_leaf, scene.wide_k,
                     )

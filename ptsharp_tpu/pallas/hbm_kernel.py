@@ -3,21 +3,22 @@
 The VMEM packet kernel (pallas/wide_kernel.py) requires node + leaf tables
 resident in VMEM and tops out at ~16.6 MB — dragon-class meshes (1.3M tris,
 ~120 MB of tables) previously fell back to the 0.61 Mrays/s XLA wide walk.
-Here the tables stay in HBM (`pltpu.ANY`) and each 128-ray packet streams
-64-row *blocks* through a per-group direct-mapped VMEM cache:
 
-  * node cache: 8 groups x 64 rows x 128 lanes (256 KB). A group's cursor
-    move within its cached block costs nothing; crossing a block boundary
-    issues one 32 KB DMA (all groups' DMAs start before any waits, so up
-    to 8 copies fly in parallel). Preorder layout makes first-child
-    descents `cur + 1` — usually the same block — so coherent packets
-    amortize each DMA over many iterations.
-  * leaf cache: same structure keyed by leaf-row block.
+PRODUCTION PATH: the FAT-ROW kernel (`pack_fat` + `pallas_traverse_hbm8_fat`).
+Each node's wide row is interleaved with its leaf MT block so every packet
+step issues exactly ONE (2, 128) DMA per group from the HBM table into
+VMEM scratch. One DMA cluster per loop body is the load-bearing property:
+kernels with TWO DMA clusters per body (the block-cache and row variants
+kept below for the record) compile but desynchronize on genuinely
+HBM-resident buffers — the first cluster's reads race its copies and see
+zeros (measured: zero hits at bunny scale, exact parity at small scales
+where the "HBM" buffers evidently land in VMEM; bisected in
+scripts/exp_hbm_debug2.py — even a constant-index second DMA corrupts the
+first cluster's fetches).
 
-Traversal semantics, table layout, and results are identical to
-pallas_traverse_wide8 (reference hot loop Tree.cs:67-128 +
-Triangle.cs:95-124); only row fetches differ. Tables must be padded to a
-64-row multiple (scene.build does this for the HBM path).
+Traversal semantics and results are identical to pallas_traverse_wide8
+(reference hot loop Tree.cs:67-128 + Triangle.cs:95-124); only row
+fetches differ.
 """
 
 from __future__ import annotations
@@ -466,6 +467,234 @@ def pallas_traverse_hbm8_row(rows, leaf, org, dirn, t_max,
         ],
         interpret=interpret,
     )(rows, leaf, org_t, dir_t, tm2)
+    return t[0, :r], slot[0, :r], u[0, :r], v[0, :r]
+
+
+def pack_fat(rows, leaf, leaf_size: int):
+    """Interleave node rows with their leaf blocks: fat row pair 2i =
+    node i's wide row, 2i+1 = its leaf MT block (zeros for internal
+    nodes). ONE DMA then fetches everything an iteration needs — the
+    measured Mosaic failure mode is two DMA clusters per while-loop
+    body desynchronizing the first cluster's semaphore wait once the
+    source buffer is genuinely HBM-resident (reads race the copies and
+    see zeros; scripts/exp_hbm_debug2.py run_lmode: even a constant-index
+    second DMA corrupts the node fetch at bunny scale while any single
+    cluster is correct). Doubles the table; HBM has room.
+
+    rows (Nw, 128), leaf (NL, 128) numpy or jax arrays -> (2*Nw, 128)."""
+    rows = np.asarray(rows)
+    leaf = np.asarray(leaf)
+    nw = rows.shape[0]
+    fat = np.zeros((2 * nw, 128), np.float32)
+    fat[0::2] = rows
+    meta = rows[:, 7].view(np.int32)
+    cnt = meta & 0xFF
+    first = rows[:, 6].view(np.int32)
+    lj = np.where(cnt > 0, first // leaf_size, 0)
+    lj = np.clip(lj, 0, max(leaf.shape[0] - 1, 0))
+    if leaf.shape[0]:
+        fat[1::2] = np.where((cnt > 0)[:, None], leaf[lj], 0.0)
+    return fat
+
+
+def _kernel8_hbm_fat(fat_ref, org_ref, dir_ref, tmax_ref,
+                     t_ref, slot_ref, u_ref, v_ref,
+                     fscr, nscr, lscr, nsem,
+                     *, base, end, leaf_size, k, max_iters):
+    """Fat-row streaming kernel: one (2, 128) DMA per group per iteration
+    delivers the node row AND its leaf block (pack_fat layout)."""
+    G, L = 8, 128
+    ox = org_ref[0, :].reshape(G, L)
+    oy = org_ref[1, :].reshape(G, L)
+    oz = org_ref[2, :].reshape(G, L)
+    dx = dir_ref[0, :].reshape(G, L)
+    dy = dir_ref[1, :].reshape(G, L)
+    dz = dir_ref[2, :].reshape(G, L)
+
+    def safe_inv(d):
+        return 1.0 / jnp.where(jnp.abs(d) < 1e-30,
+                               jnp.where(d < 0, -1e-30, 1e-30), d)
+
+    ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+
+    def cond(s):
+        cur, it, bt, bs, bu, bv = s
+        return jnp.logical_and(jnp.any(cur < end), it < max_iters)
+
+    def body(s):
+        cur, it, bt, bs, bu, bv = s
+        active = cur < end
+        j = jnp.minimum(cur, end - 1)
+        jg = [j[g, 0] for g in range(G)]
+        for g in range(G):
+            pltpu.make_async_copy(
+                fat_ref.at[pl.ds(2 * jg[g], 2)],
+                fscr.at[pl.ds(2 * g, 2)], nsem.at[g]).start()
+        for g in range(G):
+            pltpu.make_async_copy(
+                fat_ref.at[pl.ds(2 * jg[g], 2)],
+                fscr.at[pl.ds(2 * g, 2)], nsem.at[g]).wait()
+        for g in range(G):
+            nscr[g, :] = fscr[2 * g]
+            lscr[g, :] = fscr[2 * g + 1]
+        nrow = nscr[:]
+        blkrow = lscr[:]
+        bits = jax.lax.bitcast_convert_type(nrow, jnp.int32)
+        first = bits[:, 6:7]
+        cnt = bits[:, 7:8] & 0xFF
+        skip = bits[:, 8:9]
+        is_leaf = cnt > 0
+
+        def slab(lo_col, hi_col):
+            lox = (nrow[:, lo_col + 0:lo_col + 1] - ox) * ix
+            loy = (nrow[:, lo_col + 1:lo_col + 2] - oy) * iy
+            loz = (nrow[:, lo_col + 2:lo_col + 3] - oz) * iz
+            hix = (nrow[:, hi_col + 0:hi_col + 1] - ox) * ix
+            hiy = (nrow[:, hi_col + 1:hi_col + 2] - oy) * iy
+            hiz = (nrow[:, hi_col + 2:hi_col + 3] - oz) * iz
+            tmin = jnp.maximum(
+                jnp.maximum(jnp.minimum(lox, hix), jnp.minimum(loy, hiy)),
+                jnp.minimum(loz, hiz),
+            )
+            tmax = jnp.minimum(
+                jnp.minimum(jnp.maximum(lox, hix), jnp.maximum(loy, hiy)),
+                jnp.maximum(loz, hiz),
+            )
+            return tmin, tmax
+
+        tmin, tmax = slab(0, 3)
+        box_hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < bt) & active
+        leaf_ok = box_hit & is_leaf
+
+        for l in range(leaf_size):
+            c = l * 9
+            v0x = blkrow[:, c + 0:c + 1]
+            v0y = blkrow[:, c + 1:c + 2]
+            v0z = blkrow[:, c + 2:c + 3]
+            e1x = blkrow[:, c + 3:c + 4]
+            e1y = blkrow[:, c + 4:c + 5]
+            e1z = blkrow[:, c + 5:c + 6]
+            e2x = blkrow[:, c + 6:c + 7]
+            e2y = blkrow[:, c + 7:c + 8]
+            e2z = blkrow[:, c + 8:c + 9]
+            hx = dy * e2z - dz * e2y
+            hy = dz * e2x - dx * e2z
+            hz = dx * e2y - dy * e2x
+            det = e1x * hx + e1y * hy + e1z * hz
+            inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+            sx = ox - v0x
+            sy = oy - v0y
+            sz = oz - v0z
+            uu = (sx * hx + sy * hy + sz * hz) * inv_det
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            vv = (dx * qx + dy * qy + dz * qz) * inv_det
+            tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            got = (
+                leaf_ok
+                & (jnp.abs(det) > 1e-12)
+                & (uu >= 0.0) & (uu <= 1.0)
+                & (vv >= 0.0) & (uu + vv <= 1.0)
+                & (tt > 1e-4)
+                & (tt < bt)
+            )
+            bt = jnp.where(got, tt, bt)
+            bs = jnp.where(got, first + l, bs)
+            bu = jnp.where(got, uu, bu)
+            bv = jnp.where(got, vv, bv)
+
+        target = jnp.full((G, L), BIG, jnp.int32)
+        for c in range(k):
+            cb = 9 + 6 * c
+            ctmin, ctmax = slab(cb, cb + 3)
+            cidx = bits[:, 9 + 6 * k + c:9 + 6 * k + c + 1]
+            chit = (
+                (ctmax >= jnp.maximum(ctmin, 0.0))
+                & (ctmin < bt)
+                & (cidx > 0)
+            )
+            target = jnp.where(chit & (cidx < target), cidx, target)
+
+        descend = box_hit & jnp.logical_not(is_leaf)
+        ray_next = jnp.where(descend & (target < BIG), target,
+                             jnp.broadcast_to(skip, (G, L)))
+        nxt = jnp.min(ray_next, axis=1, keepdims=True)
+        cur = jnp.where(active, nxt, cur)
+        return cur, it + 1, bt, bs, bu, bv
+
+    t0 = tmax_ref[0, :].reshape(G, L)
+    init = (
+        jnp.full((G, 1), base, jnp.int32), jnp.int32(0), t0,
+        jnp.full((G, L), -1, jnp.int32),
+        jnp.zeros((G, L), jnp.float32),
+        jnp.zeros((G, L), jnp.float32),
+    )
+    _, _, bt, bs, bu, bv = jax.lax.while_loop(cond, body, init)
+    t_ref[0, :] = jnp.where(bs >= 0, bt, vec.INF).reshape(G * L)
+    slot_ref[0, :] = bs.reshape(G * L)
+    u_ref[0, :] = bu.reshape(G * L)
+    v_ref[0, :] = bv.reshape(G * L)
+
+
+def pallas_traverse_hbm8_fat(fat, org, dirn, t_max, base: int, end: int,
+                             leaf_size: int, k: int,
+                             max_iters: int | None = None,
+                             interpret: bool | None = None):
+    """Closest-hit over a pack_fat table (2*Nw, 128). Same contract as
+    pallas_traverse_wide8 otherwise."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if max_iters is None:
+        max_iters = int(end) - int(base)
+    tile = 1024
+    org = jax.lax.stop_gradient(org)
+    dirn = jax.lax.stop_gradient(dirn)
+    r = org.shape[0]
+    tm = jnp.broadcast_to(
+        jax.lax.stop_gradient(jnp.asarray(t_max, jnp.float32)), (r,)
+    )
+    pad = (-r) % tile
+    if pad:
+        org = jnp.concatenate([org, jnp.zeros((pad, 3), org.dtype)])
+        dirn = jnp.concatenate([dirn, jnp.ones((pad, 3), dirn.dtype)])
+        tm = jnp.concatenate([tm, jnp.full((pad,), -vec.INF, jnp.float32)])
+    rp = r + pad
+    n_tiles = rp // tile
+    org_t = org.T.reshape(3, rp)
+    dir_t = dirn.T.reshape(3, rp)
+    tm2 = tm.reshape(1, rp)
+    kern = functools.partial(
+        _kernel8_hbm_fat, base=int(base), end=int(end),
+        leaf_size=int(leaf_size), k=int(k), max_iters=int(max_iters),
+    )
+    out_shapes = (
+        jax.ShapeDtypeStruct((1, rp), jnp.float32),
+        jax.ShapeDtypeStruct((1, rp), jnp.int32),
+        jax.ShapeDtypeStruct((1, rp), jnp.float32),
+        jax.ShapeDtypeStruct((1, rp), jnp.float32),
+    )
+    ray_spec = pl.BlockSpec((3, tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    t, slot, u, v = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        out_shape=out_shapes,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            ray_spec, ray_spec, row_spec,
+        ],
+        out_specs=(row_spec, row_spec, row_spec, row_spec),
+        scratch_shapes=[
+            pltpu.VMEM((16, 128), jnp.float32),   # fat pair per group
+            pltpu.VMEM((8, 128), jnp.float32),    # node rows
+            pltpu.VMEM((8, 128), jnp.float32),    # leaf rows
+            pltpu.SemaphoreType.DMA((8,)),
+        ],
+        interpret=interpret,
+    )(fat, org_t, dir_t, tm2)
     return t[0, :r], slot[0, :r], u[0, :r], v[0, :r]
 
 

@@ -758,7 +758,6 @@ class SceneBuilder:
         FLAT_TRI_CAP = 4_000_000
         if intersector == "pallas" and self._instances:
             from ptsharp_tpu.pallas import wide_kernel as wk_mod
-            from ptsharp_tpu.pallas.hbm_kernel import BLK
             from ptsharp_tpu.pallas.wide_kernel import VMEM_TABLE_BUDGET
 
             e1n = (tv[:, 1] - tv[:, 0]).astype(np.float32)
@@ -804,21 +803,18 @@ class SceneBuilder:
                 p_inst_e = tuple(int(p_range[mi][1])
                                  for mi, *_ in self._instances)
             # beyond the VMEM budget the tables stay in HBM and the
-            # streaming kernel (pallas/hbm_kernel.py) takes over — no more
-            # XLA-walk fallback for dragon-class meshes
+            # fat-row streaming kernel (pallas/hbm_kernel.py) takes over —
+            # no more XLA-walk fallback for dragon-class meshes. p_rows
+            # becomes the interleaved [node; leaf-block] fat table (one
+            # DMA per packet step; two DMA clusters per loop body
+            # desynchronize on real HBM, pack_fat docstring) and p_leaf
+            # is folded into it.
             p_hbm = (p_rows.size + p_leaf.size) * 4 > VMEM_TABLE_BUDGET
             if p_hbm:
-                # the streaming kernel DMAs whole 64-row blocks: pad both
-                # tables to a block multiple (zero rows are never reached)
-                def _pad_blk(a):
-                    padr = (-a.shape[0]) % BLK
-                    if padr:
-                        a = np.concatenate(
-                            [a, np.zeros((padr, 128), np.float32)])
-                    return a
+                from ptsharp_tpu.pallas.hbm_kernel import pack_fat
 
-                p_rows = _pad_blk(p_rows)
-                p_leaf = _pad_blk(p_leaf)
+                p_rows = pack_fat(p_rows, p_leaf, leaf_size)
+                p_leaf = np.zeros((0, 128), np.float32)
         else:
             p_rows = np.zeros((0, 128), np.float32)
             p_leaf = np.zeros((0, 128), np.float32)

@@ -215,3 +215,259 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def run_combined(tab, n_rows, org, dirn, base, end, leaf_size, k, n_iters,
+                 interpret):
+    """Same as D1 but ONE combined HBM buffer [rows; leaf] — leaf row j
+    lives at tab[n_rows + j]."""
+    import functools
+
+    def kern(tab_ref, org_ref, dir_ref, cur_ref, chk_ref,
+             nscr, lscr, nsem, lsem,
+             *, base, end, leaf_size, k, n_iters, n_rows, n_lblk):
+        G, L = 8, 128
+        ox = org_ref[0, :].reshape(G, L)
+        oy = org_ref[1, :].reshape(G, L)
+        oz = org_ref[2, :].reshape(G, L)
+        dx = dir_ref[0, :].reshape(G, L)
+        dy = dir_ref[1, :].reshape(G, L)
+        dz = dir_ref[2, :].reshape(G, L)
+
+        def safe_inv(d):
+            return 1.0 / jnp.where(jnp.abs(d) < 1e-30,
+                                   jnp.where(d < 0, -1e-30, 1e-30), d)
+
+        ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+        BIG = np.int32(2**31 - 1)
+
+        def cond(s):
+            cur, it, bt, acc = s
+            return jnp.logical_and(jnp.any(cur < end), it < n_iters)
+
+        def body(s):
+            cur, it, bt, acc = s
+            active = cur < end
+            j = jnp.minimum(cur, end - 1)
+            jg = [j[g, 0] for g in range(G)]
+            for g in range(G):
+                pltpu.make_async_copy(
+                    tab_ref.at[jg[g]], nscr.at[g], nsem.at[g]).start()
+            for g in range(G):
+                pltpu.make_async_copy(
+                    tab_ref.at[jg[g]], nscr.at[g], nsem.at[g]).wait()
+            nrow = nscr[:]
+            bits = jax.lax.bitcast_convert_type(nrow, jnp.int32)
+            skip = bits[:, 8:9]
+            cnt = bits[:, 7:8] & 0xFF
+            is_leaf = cnt > 0
+
+            def slab(lo_col, hi_col):
+                lox = (nrow[:, lo_col + 0:lo_col + 1] - ox) * ix
+                loy = (nrow[:, lo_col + 1:lo_col + 2] - oy) * iy
+                loz = (nrow[:, lo_col + 2:lo_col + 3] - oz) * iz
+                hix = (nrow[:, hi_col + 0:hi_col + 1] - ox) * ix
+                hiy = (nrow[:, hi_col + 1:hi_col + 2] - oy) * iy
+                hiz = (nrow[:, hi_col + 2:hi_col + 3] - oz) * iz
+                tmin = jnp.maximum(
+                    jnp.maximum(jnp.minimum(lox, hix),
+                                jnp.minimum(loy, hiy)),
+                    jnp.minimum(loz, hiz))
+                tmax = jnp.minimum(
+                    jnp.minimum(jnp.maximum(lox, hix),
+                                jnp.maximum(loy, hiy)),
+                    jnp.maximum(loz, hiz))
+                return tmin, tmax
+
+            tmin, tmax = slab(0, 3)
+            box_hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < bt) & active
+            lmax = n_lblk * BLK - 1
+            cg = [bits[g, 7] & 0xFF for g in range(G)]
+            ljg = [jnp.minimum(
+                jnp.where(cg[g] > 0, bits[g, 6] // leaf_size, 0), lmax)
+                for g in range(G)]
+            for g in range(G):
+                pltpu.make_async_copy(
+                    tab_ref.at[n_rows + ljg[g]], lscr.at[g],
+                    lsem.at[g]).start()
+            for g in range(G):
+                pltpu.make_async_copy(
+                    tab_ref.at[n_rows + ljg[g]], lscr.at[g],
+                    lsem.at[g]).wait()
+            acc = acc + jnp.sum(lscr[:], axis=1, keepdims=True)
+
+            target = jnp.full((G, L), BIG, jnp.int32)
+            for c in range(k):
+                cb = 9 + 6 * c
+                ctmin, ctmax = slab(cb, cb + 3)
+                cidx = bits[:, 9 + 6 * k + c:9 + 6 * k + c + 1]
+                chit = ((ctmax >= jnp.maximum(ctmin, 0.0)) & (ctmin < bt)
+                        & (cidx > 0))
+                target = jnp.where(chit & (cidx < target), cidx, target)
+            descend = box_hit & jnp.logical_not(is_leaf)
+            ray_next = jnp.where(descend & (target < BIG), target,
+                                 jnp.broadcast_to(skip, (G, L)))
+            nxt = jnp.min(ray_next, axis=1, keepdims=True)
+            cur = jnp.where(active, nxt, cur)
+            return cur, it + 1, bt, acc
+
+        init = (jnp.full((G, 1), base, jnp.int32), jnp.int32(0),
+                jnp.full((G, L), 1e9, jnp.float32),
+                jnp.zeros((G, 1), jnp.float32))
+        cur, _, _, acc = jax.lax.while_loop(cond, body, init)
+        cur_ref[0, :] = jnp.broadcast_to(cur, (G, L)).reshape(G * L)
+        chk_ref[0, :] = jnp.broadcast_to(acc, (G, L)).reshape(G * L)
+
+    r = org.shape[0]
+    org_t = org.T.reshape(3, r)
+    dir_t = dirn.T.reshape(3, r)
+    kern2 = functools.partial(
+        kern, base=int(base), end=int(end), leaf_size=int(leaf_size),
+        k=int(k), n_iters=int(n_iters), n_rows=int(n_rows),
+        n_lblk=max((tab.shape[0] - n_rows) // BLK, 1))
+    cur, chk = pl.pallas_call(
+        kern2,
+        out_shape=(jax.ShapeDtypeStruct((1, 1024), jnp.int32),
+                   jax.ShapeDtypeStruct((1, 1024), jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32),
+                        pltpu.VMEM((8, 128), jnp.float32),
+                        pltpu.SemaphoreType.DMA((8,)),
+                        pltpu.SemaphoreType.DMA((8,))],
+        interpret=interpret,
+    )(tab, org_t, dir_t)
+    return np.asarray(cur)[0, ::128], np.asarray(chk)[0, ::128]
+
+
+def run_lmode(rows, leaf, org, dirn, base, end, leaf_size, k, n_iters,
+              lidx_mode, interpret):
+    """D1 with the leaf-DMA index swapped: 'bits' = derived from fetched
+    node data (the production dependency), 'const' = constant row 3,
+    'carry' = derived from the loop carry (cur) only."""
+    def kern(rows_ref, leaf_ref, org_ref, dir_ref,
+             cur_ref, chk_ref, nscr, lscr, nsem, lsem,
+             *, base, end, leaf_size, k, n_iters, n_lblk):
+        G, L = 8, 128
+        ox = org_ref[0, :].reshape(G, L)
+        oy = org_ref[1, :].reshape(G, L)
+        oz = org_ref[2, :].reshape(G, L)
+        dx = dir_ref[0, :].reshape(G, L)
+        dy = dir_ref[1, :].reshape(G, L)
+        dz = dir_ref[2, :].reshape(G, L)
+
+        def safe_inv(d):
+            return 1.0 / jnp.where(jnp.abs(d) < 1e-30,
+                                   jnp.where(d < 0, -1e-30, 1e-30), d)
+
+        ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+        BIG = np.int32(2**31 - 1)
+        nlr = leaf.shape[0]
+
+        def cond(s):
+            cur, it, bt, acc = s
+            return jnp.logical_and(jnp.any(cur < end), it < n_iters)
+
+        def body(s):
+            cur, it, bt, acc = s
+            active = cur < end
+            j = jnp.minimum(cur, end - 1)
+            jg = [j[g, 0] for g in range(G)]
+            for g in range(G):
+                pltpu.make_async_copy(
+                    rows_ref.at[jg[g]], nscr.at[g], nsem.at[g]).start()
+            for g in range(G):
+                pltpu.make_async_copy(
+                    rows_ref.at[jg[g]], nscr.at[g], nsem.at[g]).wait()
+            nrow = nscr[:]
+            bits = jax.lax.bitcast_convert_type(nrow, jnp.int32)
+            skip = bits[:, 8:9]
+            cnt = bits[:, 7:8] & 0xFF
+            is_leaf = cnt > 0
+
+            def slab(lo_col, hi_col):
+                lox = (nrow[:, lo_col + 0:lo_col + 1] - ox) * ix
+                loy = (nrow[:, lo_col + 1:lo_col + 2] - oy) * iy
+                loz = (nrow[:, lo_col + 2:lo_col + 3] - oz) * iz
+                hix = (nrow[:, hi_col + 0:hi_col + 1] - ox) * ix
+                hiy = (nrow[:, hi_col + 1:hi_col + 2] - oy) * iy
+                hiz = (nrow[:, hi_col + 2:hi_col + 3] - oz) * iz
+                tmin = jnp.maximum(
+                    jnp.maximum(jnp.minimum(lox, hix),
+                                jnp.minimum(loy, hiy)),
+                    jnp.minimum(loz, hiz))
+                tmax = jnp.minimum(
+                    jnp.minimum(jnp.maximum(lox, hix),
+                                jnp.maximum(loy, hiy)),
+                    jnp.maximum(loz, hiz))
+                return tmin, tmax
+
+            tmin, tmax = slab(0, 3)
+            box_hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < bt) & active
+            lmax = n_lblk * BLK - 1
+            if lidx_mode == "const":
+                lj = [np.int32(3) for g in range(G)]
+            elif lidx_mode == "carry":
+                lj = [jnp.minimum(jg[g], nlr - 1) for g in range(G)]
+            else:
+                cg = [bits[g, 7] & 0xFF for g in range(G)]
+                lj = [jnp.minimum(
+                    jnp.where(cg[g] > 0, bits[g, 6] // leaf_size, 0), lmax)
+                    for g in range(G)]
+            for g in range(G):
+                pltpu.make_async_copy(
+                    leaf_ref.at[lj[g]], lscr.at[g], lsem.at[g]).start()
+            for g in range(G):
+                pltpu.make_async_copy(
+                    leaf_ref.at[lj[g]], lscr.at[g], lsem.at[g]).wait()
+            acc = acc + jnp.sum(lscr[:], axis=1, keepdims=True)
+
+            target = jnp.full((G, L), BIG, jnp.int32)
+            for c in range(k):
+                cb = 9 + 6 * c
+                ctmin, ctmax = slab(cb, cb + 3)
+                cidx = bits[:, 9 + 6 * k + c:9 + 6 * k + c + 1]
+                chit = ((ctmax >= jnp.maximum(ctmin, 0.0)) & (ctmin < bt)
+                        & (cidx > 0))
+                target = jnp.where(chit & (cidx < target), cidx, target)
+            descend = box_hit & jnp.logical_not(is_leaf)
+            ray_next = jnp.where(descend & (target < BIG), target,
+                                 jnp.broadcast_to(skip, (G, L)))
+            nxt = jnp.min(ray_next, axis=1, keepdims=True)
+            cur = jnp.where(active, nxt, cur)
+            return cur, it + 1, bt, acc
+
+        init = (jnp.full((G, 1), base, jnp.int32), jnp.int32(0),
+                jnp.full((G, L), 1e9, jnp.float32),
+                jnp.zeros((G, 1), jnp.float32))
+        cur, _, _, acc = jax.lax.while_loop(cond, body, init)
+        cur_ref[0, :] = jnp.broadcast_to(cur, (G, L)).reshape(G * L)
+        chk_ref[0, :] = jnp.broadcast_to(acc, (G, L)).reshape(G * L)
+
+    r = org.shape[0]
+    org_t = org.T.reshape(3, r)
+    dir_t = dirn.T.reshape(3, r)
+    kern2 = functools.partial(
+        kern, base=int(base), end=int(end), leaf_size=int(leaf_size),
+        k=int(k), n_iters=int(n_iters),
+        n_lblk=max(leaf.shape[0] // BLK, 1))
+    cur, chk = pl.pallas_call(
+        kern2,
+        out_shape=(jax.ShapeDtypeStruct((1, 1024), jnp.int32),
+                   jax.ShapeDtypeStruct((1, 1024), jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
+                  pl.BlockSpec(memory_space=pltpu.HBM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32),
+                        pltpu.VMEM((8, 128), jnp.float32),
+                        pltpu.SemaphoreType.DMA((8,)),
+                        pltpu.SemaphoreType.DMA((8,))],
+        interpret=interpret,
+    )(rows, leaf, org_t, dir_t)
+    return np.asarray(cur)[0, ::128], np.asarray(chk)[0, ::128]

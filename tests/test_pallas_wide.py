@@ -147,11 +147,11 @@ def test_wide_pallas_render_smoke():
 
 def test_pallas_oversized_goes_hbm():
     """Oversized tables no longer fall back to the XLA walk: they stay on
-    the pallas path with HBM-resident tables streamed by
-    pallas/hbm_kernel.py (BLK-padded), and closest-hit still matches."""
+    the pallas path with an HBM-resident FAT table (interleaved node +
+    leaf rows, one DMA per packet step) streamed by pallas/hbm_kernel.py,
+    and closest-hit still matches."""
     from ptsharp_tpu.geometry.mesh import sphere_mesh
     from ptsharp_tpu.materials import diffuse_material
-    from ptsharp_tpu.pallas.hbm_kernel import BLK
     from ptsharp_tpu.scene import SceneBuilder
 
     b2 = SceneBuilder()
@@ -160,8 +160,8 @@ def test_pallas_oversized_goes_hbm():
     s2 = b2.build(leaf_size=1, intersector="pallas", wide_k=8)
     assert s2.intersector == "pallas"
     assert s2.p_hbm
-    assert s2.p_rows.shape[0] % BLK == 0
-    assert s2.p_leaf.shape[0] % BLK == 0
+    assert s2.p_rows.shape[0] % 2 == 0  # fat pairs
+    assert s2.p_leaf.shape[0] == 0      # folded into the fat table
     b3 = SceneBuilder()
     b3.add_mesh(sphere_mesh([0, 0, 0], 1.0, subdivisions=6),
                 diffuse_material([0.5, 0.5, 0.5]))

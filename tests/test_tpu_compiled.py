@@ -109,8 +109,8 @@ def test_compiled_anyhit_matches_bounded_walk():
                                       np.asarray(t_ref) < 1e8)
 
 
-def test_compiled_hbm_matches_vmem_kernel():
-    """Small-scene streaming-kernel parity (fast compile)."""
+def test_compiled_hbm_fat_matches_vmem_kernel():
+    """Small-scene fat-row streaming-kernel parity (fast compile)."""
     import jax.numpy as jnp
 
     from ptsharp_tpu.core import vec
@@ -118,21 +118,14 @@ def test_compiled_hbm_matches_vmem_kernel():
     from ptsharp_tpu.pallas import wide_kernel as wk
 
     sp = _scene()
-
-    def pad(a):
-        p = (-a.shape[0]) % hk.BLK
-        if p:
-            return jnp.concatenate([a, jnp.zeros((p, 128), jnp.float32)])
-        return a
-
-    rows, leaf = pad(sp.p_rows), pad(sp.p_leaf)
+    fat = jnp.asarray(hk.pack_fat(sp.p_rows, sp.p_leaf, sp.max_leaf))
     org, d = _rays(4096, seed=2)
     t1, s1, _u1, _v1 = wk.pallas_traverse_wide8(
         sp.p_rows, sp.p_leaf, org, d, vec.INF,
         sp.p_inst_base[0], sp.p_inst_end[0], sp.max_leaf, sp.wide_k,
         interpret=False)
-    t2, s2, _u2, _v2 = hk.pallas_traverse_hbm8(
-        rows, leaf, org, d, vec.INF,
+    t2, s2, _u2, _v2 = hk.pallas_traverse_hbm8_fat(
+        fat, org, d, vec.INF,
         sp.p_inst_base[0], sp.p_inst_end[0], sp.max_leaf, sp.wide_k,
         interpret=False)
     np.testing.assert_allclose(np.asarray(t2), np.asarray(t1), rtol=1e-6)
@@ -140,10 +133,11 @@ def test_compiled_hbm_matches_vmem_kernel():
     np.testing.assert_array_equal(np.asarray(s2)[hit], np.asarray(s1)[hit])
 
 
-def test_compiled_hbm_matches_vmem_kernel_bunny_scale():
+def test_compiled_hbm_fat_matches_vmem_kernel_bunny_scale():
     """Bunny-scale (82k tris) streaming-kernel parity: the round-4
-    miscompile returned ZERO hits at exactly this scale while passing at
-    small scale — this test is the on-chip regression gate for it."""
+    two-DMA-cluster miscompile returned ZERO hits at exactly this scale
+    while passing at small scale (pack_fat docstring) — this test is the
+    on-chip regression gate for the single-DMA fat-row design."""
     import jax.numpy as jnp
 
     from ptsharp_tpu.core import vec
@@ -157,21 +151,14 @@ def test_compiled_hbm_matches_vmem_kernel_bunny_scale():
     b.add_mesh(sphere_mesh([0, 0.4, 0], 1.0, subdivisions=6),
                diffuse_material([0.5, 0.5, 0.5]))
     sp = b.build(leaf_size=8, intersector="pallas", wide_k=8)
-
-    def pad(a):
-        p = (-a.shape[0]) % hk.BLK
-        if p:
-            return jnp.concatenate([a, jnp.zeros((p, 128), jnp.float32)])
-        return a
-
-    rows, leaf = pad(sp.p_rows), pad(sp.p_leaf)
+    fat = jnp.asarray(hk.pack_fat(sp.p_rows, sp.p_leaf, sp.max_leaf))
     org, d = _rays(4096, seed=4)
     t1, _s1, _u1, _v1 = wk.pallas_traverse_wide8(
         sp.p_rows, sp.p_leaf, org, d, vec.INF,
         sp.p_inst_base[0], sp.p_inst_end[0], sp.max_leaf, sp.wide_k,
         interpret=False)
-    t2, _s2, _u2, _v2 = hk.pallas_traverse_hbm8(
-        rows, leaf, org, d, vec.INF,
+    t2, _s2, _u2, _v2 = hk.pallas_traverse_hbm8_fat(
+        fat, org, d, vec.INF,
         sp.p_inst_base[0], sp.p_inst_end[0], sp.max_leaf, sp.wide_k,
         interpret=False)
     assert (np.asarray(t1) < 1e8).mean() > 0.1  # rays do hit the mesh
