@@ -131,9 +131,12 @@ def run_grad(width=1920, height=1080, chunks=8):
     """Forward+backward Mrays/s: gradient of the mean image luminance w.r.t.
     the material table (the differentiable train-step shape of
     parallel/shard.py). 1M-ray chunks dispatched without blocking — the
-    same pipelining the fwd-only metric gets."""
+    same pipelining the fwd-only metric gets. Uses the sync-free compacted
+    trace: Russian-roulette-dead lanes cost DOUBLE in fwd+bwd, so
+    reservoir compaction measured 35.3 vs 26.6 Mrays/s plain
+    (scripts/exp_grad4.py; gradient parity tested in tests/test_diff.py)."""
     from ptsharp_tpu import examples
-    from ptsharp_tpu.integrator import trace
+    from ptsharp_tpu.integrator import trace_compacted_static
 
     scene, cam, _rcfg, icfg = examples.build("cornell")
     pix_per_chunk = 1 << 20
@@ -147,7 +150,7 @@ def run_grad(width=1920, height=1080, chunks=8):
         kj, kt = jax.random.split(key)
         ju, jv = jax.random.uniform(kj, (2, r))
         org, dirn = cam.cast_rays(pix_x, pix_y, width, height, ju, jv)
-        result = trace(s, icfg, org, dirn, kt)
+        result = trace_compacted_static(s, icfg, org, dirn, kt)
         return jnp.mean(result.radiance), result.rays_traced
 
     grad_fn = jax.jit(jax.grad(loss_fn, has_aux=True))

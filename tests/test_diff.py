@@ -100,3 +100,37 @@ def test_grad_through_mesh_scene_is_finite():
     g = np.asarray(g)
     assert np.isfinite(g).all()
     assert np.abs(g).sum() > 0.0
+
+
+def test_grad_compacted_matches_plain():
+    """Gradient through trace_compacted_static vs plain trace (the grad
+    bench runs the compacted path: dead lanes cost double in fwd+bwd,
+    scripts/exp_grad4.py). Same key chain -> near-identical gradients up
+    to the ~1% lane divergence of fusion-dependent RR coin rounding."""
+    from ptsharp_tpu.integrator import trace, trace_compacted_static
+
+    cfg = IntegratorConfig(max_bounces=6, russian_roulette=True,
+                           rr_start_depth=2)
+    n = 4096
+    rng = np.random.default_rng(5)
+    org = jnp.asarray(
+        rng.uniform(-2, 2, (n, 3)).astype(np.float32) * [1, 0.2, 1]
+        + [0, 2.0, -5.0])
+    d = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32)
+                    + [0, -0.3, 1.0])
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    def loss(colors, tracer):
+        mats = SCENE.materials._replace(color=colors)
+        s = replace(SCENE, materials=mats)
+        res = tracer(s, cfg, org, d, KEY)
+        return jnp.mean(res.radiance)
+
+    g_plain = jax.grad(lambda c: loss(c, trace))(SCENE.materials.color)
+    g_comp = jax.grad(
+        lambda c: loss(c, lambda *a, **k: trace_compacted_static(
+            *a, min_cap=256, **k)))(SCENE.materials.color)
+    gp = np.asarray(g_plain)
+    gc = np.asarray(g_comp)
+    denom = max(float(np.abs(gp).max()), 1e-8)
+    assert np.abs(gp - gc).max() / denom < 0.05, (gp, gc)
