@@ -68,11 +68,12 @@ def _morton_pixel_order(width, height):
 
 
 def run_scene(name, width=1920, height=1080, spp=64, max_measured_chunks=16,
-              shift=20, split_raygen=False, **scene_kw):
+              shift=20, split_raygen=False, compacted=False, **scene_kw):
     from ptsharp_tpu import examples
-    from ptsharp_tpu.integrator import trace
+    from ptsharp_tpu.integrator import trace, trace_compacted_static
 
     scene, cam, _rcfg, icfg = examples.build(name, **scene_kw)
+    tracer = trace_compacted_static if compacted else trace
     pix_per_chunk = 1 << shift
 
     if split_raygen:
@@ -92,7 +93,7 @@ def run_scene(name, width=1920, height=1080, spp=64, max_measured_chunks=16,
 
         @jax.jit
         def tr(org, dirn, kt):
-            result = trace(scene, icfg, org, dirn, kt)
+            result = tracer(scene, icfg, org, dirn, kt)
             return jnp.sum(result.radiance), result.rays_traced
 
         def render_chunk(key, ci):
@@ -108,7 +109,7 @@ def run_scene(name, width=1920, height=1080, spp=64, max_measured_chunks=16,
             px, py = xs % width, xs // width
             ju, jv = jax.random.uniform(kj, (2, pix_per_chunk))
             org, dirn = cam.cast_rays(px, py, width, height, ju, jv)
-            result = trace(scene, icfg, org, dirn, kt)
+            result = tracer(scene, icfg, org, dirn, kt)
             return jnp.sum(result.radiance), result.rays_traced
 
     out = render_chunk(jax.random.PRNGKey(999), 0)
@@ -254,6 +255,8 @@ def main():
         (
             "Mrays_per_s_per_chip_cornell_1080p",
             [
+                ("cornell/compact/1M", lambda: run_scene(
+                    "cornell", compacted=True)),
                 ("cornell/1M", lambda: run_scene("cornell")),
                 ("cornell/256k", lambda: run_scene("cornell", shift=18)),
             ],

@@ -613,12 +613,12 @@ def occlusion_query(scene: SceneData, org, dirn, t_cut) -> jnp.ndarray:
             if scene.p_hbm:
                 from ptsharp_tpu.pallas import hbm_kernel as hk
 
-                t, _s, _u, _v = hk.pallas_traverse_hbm8_fat(
+                occ_i = hk.pallas_occluded_hbm8_fat(
                     scene.p_rows, org, dirn, cut(),
                     scene.p_inst_base[0], scene.p_inst_end[0],
                     scene.max_leaf, scene.wide_k,
                 )
-                occ = occ | (t < INF)
+                occ = occ | occ_i
             else:
                 from ptsharp_tpu.pallas import wide_kernel as wk
 
@@ -643,16 +643,15 @@ def occlusion_query(scene: SceneData, org, dirn, t_cut) -> jnp.ndarray:
                     )
                     occ = occ | occ_i
                 elif scene.intersector == "pallas":
-                    # >VMEM tables: bounded closest-hit via the fat-row
-                    # streaming kernel (an any-hit variant can follow)
+                    # >VMEM tables: fat-row any-hit streaming kernel
                     from ptsharp_tpu.pallas import hbm_kernel as hk
 
-                    t, _s, _u, _v = hk.pallas_traverse_hbm8_fat(
+                    occ_i = hk.pallas_occluded_hbm8_fat(
                         scene.p_rows, o, d, cut(),
                         scene.p_inst_base[i], scene.p_inst_end[i],
                         scene.max_leaf, scene.wide_k,
                     )
-                    occ = occ | (t < INF)
+                    occ = occ | occ_i
                 else:
                     t, _s, _u, _v = traverse.traverse_wide_chunked(
                         scene.w_rows, scene.leaf_rows, o, d, cut(),

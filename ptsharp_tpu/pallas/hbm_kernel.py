@@ -698,6 +698,199 @@ def pallas_traverse_hbm8_fat(fat, org, dirn, t_max, base: int, end: int,
     return t[0, :r], slot[0, :r], u[0, :r], v[0, :r]
 
 
+def _kernel8_hbm_fat_any(fat_ref, org_ref, dir_ref, tcut_ref,
+                         occ_ref, fscr, nscr, lscr, nsem,
+                         *, base, end, leaf_size, k, max_iters):
+    """Any-hit fat-row streaming kernel: boolean occlusion with lane
+    retirement + packet early-exit (wide_kernel._kernel8_any semantics,
+    fat-row single-DMA fetches)."""
+    G, L = 8, 128
+    ox = org_ref[0, :].reshape(G, L)
+    oy = org_ref[1, :].reshape(G, L)
+    oz = org_ref[2, :].reshape(G, L)
+    dx = dir_ref[0, :].reshape(G, L)
+    dy = dir_ref[1, :].reshape(G, L)
+    dz = dir_ref[2, :].reshape(G, L)
+    t0 = tcut_ref[0, :].reshape(G, L)
+
+    def safe_inv(d):
+        return 1.0 / jnp.where(jnp.abs(d) < 1e-30,
+                               jnp.where(d < 0, -1e-30, 1e-30), d)
+
+    ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+
+    def cond(s):
+        cur, it, occ = s
+        return jnp.logical_and(jnp.any(cur < end), it < max_iters)
+
+    def body(s):
+        cur, it, occ = s                 # occ (G, L) i32 0/1
+        active = cur < end
+        occ_b = occ != 0
+        bt = jnp.where(occ_b, -vec.INF, t0)
+        j = jnp.minimum(cur, end - 1)
+        jg = [j[g, 0] for g in range(G)]
+        for g in range(G):
+            pltpu.make_async_copy(
+                fat_ref.at[pl.ds(2 * jg[g], 2)],
+                fscr.at[pl.ds(2 * g, 2)], nsem.at[g]).start()
+        for g in range(G):
+            pltpu.make_async_copy(
+                fat_ref.at[pl.ds(2 * jg[g], 2)],
+                fscr.at[pl.ds(2 * g, 2)], nsem.at[g]).wait()
+        for g in range(G):
+            nscr[g, :] = fscr[2 * g]
+            lscr[g, :] = fscr[2 * g + 1]
+        nrow = nscr[:]
+        blkrow = lscr[:]
+        bits = jax.lax.bitcast_convert_type(nrow, jnp.int32)
+        cnt = bits[:, 7:8] & 0xFF
+        skip = bits[:, 8:9]
+        is_leaf = cnt > 0
+
+        def slab(lo_col, hi_col):
+            lox = (nrow[:, lo_col + 0:lo_col + 1] - ox) * ix
+            loy = (nrow[:, lo_col + 1:lo_col + 2] - oy) * iy
+            loz = (nrow[:, lo_col + 2:lo_col + 3] - oz) * iz
+            hix = (nrow[:, hi_col + 0:hi_col + 1] - ox) * ix
+            hiy = (nrow[:, hi_col + 1:hi_col + 2] - oy) * iy
+            hiz = (nrow[:, hi_col + 2:hi_col + 3] - oz) * iz
+            tmin = jnp.maximum(
+                jnp.maximum(jnp.minimum(lox, hix), jnp.minimum(loy, hiy)),
+                jnp.minimum(loz, hiz),
+            )
+            tmax = jnp.minimum(
+                jnp.minimum(jnp.maximum(lox, hix), jnp.maximum(loy, hiy)),
+                jnp.maximum(loz, hiz),
+            )
+            return tmin, tmax
+
+        tmin, tmax = slab(0, 3)
+        box_hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < bt) & active
+        leaf_ok = box_hit & is_leaf
+
+        for l in range(leaf_size):
+            c = l * 9
+            v0x = blkrow[:, c + 0:c + 1]
+            v0y = blkrow[:, c + 1:c + 2]
+            v0z = blkrow[:, c + 2:c + 3]
+            e1x = blkrow[:, c + 3:c + 4]
+            e1y = blkrow[:, c + 4:c + 5]
+            e1z = blkrow[:, c + 5:c + 6]
+            e2x = blkrow[:, c + 6:c + 7]
+            e2y = blkrow[:, c + 7:c + 8]
+            e2z = blkrow[:, c + 8:c + 9]
+            hx = dy * e2z - dz * e2y
+            hy = dz * e2x - dx * e2z
+            hz = dx * e2y - dy * e2x
+            det = e1x * hx + e1y * hy + e1z * hz
+            inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+            sx = ox - v0x
+            sy = oy - v0y
+            sz = oz - v0z
+            uu = (sx * hx + sy * hy + sz * hz) * inv_det
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            vv = (dx * qx + dy * qy + dz * qz) * inv_det
+            tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            got = (
+                leaf_ok
+                & (jnp.abs(det) > 1e-12)
+                & (uu >= 0.0) & (uu <= 1.0)
+                & (vv >= 0.0) & (uu + vv <= 1.0)
+                & (tt > 1e-4)
+                & (tt < bt)
+            )
+            occ = jnp.maximum(occ, got.astype(jnp.int32))
+        occ_b = occ != 0
+        bt = jnp.where(occ_b, -vec.INF, t0)
+
+        target = jnp.full((G, L), BIG, jnp.int32)
+        for c in range(k):
+            cb = 9 + 6 * c
+            ctmin, ctmax = slab(cb, cb + 3)
+            cidx = bits[:, 9 + 6 * k + c:9 + 6 * k + c + 1]
+            chit = (
+                (ctmax >= jnp.maximum(ctmin, 0.0))
+                & (ctmin < bt)
+                & (cidx > 0)
+            )
+            target = jnp.where(chit & (cidx < target), cidx, target)
+
+        descend = box_hit & jnp.logical_not(is_leaf) & jnp.logical_not(occ_b)
+        ray_next = jnp.where(descend & (target < BIG), target,
+                             jnp.broadcast_to(skip, (G, L)))
+        nxt = jnp.min(ray_next, axis=1, keepdims=True)
+        all_occ = jnp.min(occ, axis=1, keepdims=True) > 0
+        nxt = jnp.where(all_occ, end, nxt)
+        cur = jnp.where(active, nxt, cur)
+        return cur, it + 1, occ
+
+    init = (
+        jnp.full((G, 1), base, jnp.int32), jnp.int32(0),
+        jnp.zeros((G, L), jnp.int32),
+    )
+    _, _, occ = jax.lax.while_loop(cond, body, init)
+    occ_ref[0, :] = occ.reshape(G * L)
+
+
+def pallas_occluded_hbm8_fat(fat, org, dirn, t_cut, base: int, end: int,
+                             leaf_size: int, k: int,
+                             max_iters: int | None = None,
+                             interpret: bool | None = None):
+    """Any-hit query over a pack_fat table: (R,) bool, True where some
+    triangle intersects at t in (eps, t_cut). Same contract as
+    wide_kernel.pallas_occluded_wide8."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if max_iters is None:
+        max_iters = int(end) - int(base)
+    tile = 1024
+    org = jax.lax.stop_gradient(org)
+    dirn = jax.lax.stop_gradient(dirn)
+    r = org.shape[0]
+    tc = jnp.broadcast_to(
+        jax.lax.stop_gradient(jnp.asarray(t_cut, jnp.float32)), (r,)
+    )
+    pad = (-r) % tile
+    if pad:
+        org = jnp.concatenate([org, jnp.zeros((pad, 3), org.dtype)])
+        dirn = jnp.concatenate([dirn, jnp.ones((pad, 3), dirn.dtype)])
+        tc = jnp.concatenate([tc, jnp.full((pad,), -vec.INF, jnp.float32)])
+    rp = r + pad
+    n_tiles = rp // tile
+    org_t = org.T.reshape(3, rp)
+    dir_t = dirn.T.reshape(3, rp)
+    tc2 = tc.reshape(1, rp)
+    kern = functools.partial(
+        _kernel8_hbm_fat_any, base=int(base), end=int(end),
+        leaf_size=int(leaf_size), k=int(k), max_iters=int(max_iters),
+    )
+    ray_spec = pl.BlockSpec((3, tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    occ = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        out_shape=jax.ShapeDtypeStruct((1, rp), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            ray_spec, ray_spec, row_spec,
+        ],
+        out_specs=row_spec,
+        scratch_shapes=[
+            pltpu.VMEM((16, 128), jnp.float32),
+            pltpu.VMEM((8, 128), jnp.float32),
+            pltpu.VMEM((8, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((8,)),
+        ],
+        interpret=interpret,
+    )(fat, org_t, dir_t, tc2)
+    return occ[0, :r] != 0
+
+
 def pallas_traverse_hbm8(rows, leaf, org, dirn, t_max, base: int, end: int,
                          leaf_size: int, k: int,
                          max_iters: int | None = None,

@@ -110,3 +110,24 @@ def test_trace_anyhit_matches_closest_visibility():
     frac_diff = np.mean(np.any(np.abs(a - c) > 1e-5, axis=-1))
     assert frac_diff < 0.02, frac_diff
     assert abs(a.mean() - c.mean()) / max(c.mean(), 1e-9) < 0.02
+
+
+def test_fat_anyhit_matches_fat_closest_boolean():
+    """pallas_occluded_hbm8_fat == (fat closest-hit t < t_cut) on the same
+    fat table (interpret mode; the compiled path is gated by
+    tests/test_tpu_compiled.py on a real chip)."""
+    from ptsharp_tpu.pallas import hbm_kernel as hk
+
+    sp = _mesh_scene()
+    fat = jnp.asarray(hk.pack_fat(sp.p_rows, sp.p_leaf, sp.max_leaf))
+    org, d = _rays(512, seed=17)
+    rng = np.random.default_rng(8)
+    t_cut = jnp.asarray(
+        np.where(rng.random(512) < 0.1, -1.0,
+                 rng.uniform(0.2, 6.0, 512)).astype(np.float32))
+    b0, e0 = sp.p_inst_base[0], sp.p_inst_end[0]
+    t_ref, _s, _u, _v = hk.pallas_traverse_hbm8_fat(
+        fat, org, d, t_cut, b0, e0, sp.max_leaf, sp.wide_k)
+    occ = hk.pallas_occluded_hbm8_fat(
+        fat, org, d, t_cut, b0, e0, sp.max_leaf, sp.wide_k)
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(t_ref) < 1e8)

@@ -163,3 +163,31 @@ def test_compiled_hbm_fat_matches_vmem_kernel_bunny_scale():
         interpret=False)
     assert (np.asarray(t1) < 1e8).mean() > 0.1  # rays do hit the mesh
     np.testing.assert_allclose(np.asarray(t2), np.asarray(t1), rtol=1e-6)
+
+
+def test_compiled_hbm_fat_anyhit_bunny_scale():
+    """Compiled fat-row any-hit vs fat closest-hit boolean at bunny scale."""
+    import jax.numpy as jnp
+
+    from ptsharp_tpu.geometry.mesh import sphere_mesh
+    from ptsharp_tpu.materials import diffuse_material
+    from ptsharp_tpu.pallas import hbm_kernel as hk
+    from ptsharp_tpu.scene import SceneBuilder
+
+    b = SceneBuilder()
+    b.add_mesh(sphere_mesh([0, 0.4, 0], 1.0, subdivisions=6),
+               diffuse_material([0.5, 0.5, 0.5]))
+    sp = b.build(leaf_size=8, intersector="pallas", wide_k=8)
+    fat = jnp.asarray(hk.pack_fat(sp.p_rows, sp.p_leaf, sp.max_leaf))
+    org, d = _rays(4096, seed=6)
+    rng = np.random.default_rng(3)
+    t_cut = jnp.asarray(rng.uniform(0.2, 5.0, 4096).astype(np.float32))
+    t_ref, _s, _u, _v = hk.pallas_traverse_hbm8_fat(
+        fat, org, d, t_cut,
+        sp.p_inst_base[0], sp.p_inst_end[0], sp.max_leaf, sp.wide_k,
+        interpret=False)
+    occ = hk.pallas_occluded_hbm8_fat(
+        fat, org, d, t_cut,
+        sp.p_inst_base[0], sp.p_inst_end[0], sp.max_leaf, sp.wide_k,
+        interpret=False)
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(t_ref) < 1e8)
