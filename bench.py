@@ -264,6 +264,9 @@ def main():
         (
             "Mrays_per_s_per_chip_bunny82k_1080p",
             [
+                ("bunny/pallas8/1M", lambda: run_scene(
+                    "bunny", shift=20, max_measured_chunks=4,
+                    split_raygen=True, intersector="pallas", wide_k=8)),
                 ("bunny/pallas8/256k", lambda: run_scene(
                     "bunny", shift=18, max_measured_chunks=8,
                     split_raygen=True, intersector="pallas", wide_k=8)),

@@ -42,7 +42,12 @@ def main():
         icfg = replace(icfg, direct_lighting=False)
     elif variant == "depth2":
         icfg = replace(icfg, max_bounces=2)
-    tracer = trace_compacted_static if variant == "compact" else trace
+    elif variant == "compact_nore":
+        icfg = replace(icfg, remat=False)
+    elif variant == "compact_hits":
+        icfg = replace(icfg, remat_policy="hits")
+    tracer = (trace_compacted_static
+              if variant.startswith("compact") else trace)
 
     def loss_fn(colors, key, px, py):
         mats = scene.materials._replace(color=colors)
@@ -71,3 +76,8 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+# extra variants appended round 4: compaction combined with remat modes
+# (compact alone measured 35.3; does skipping remat help at the reduced
+# tail widths?)

@@ -144,3 +144,36 @@ def test_sdf_example_smoke():
     r = Renderer(scene, cam, RenderConfig(width=16, height=12, spp=2), icfg)
     film = r.render(key=jax.random.PRNGKey(0))
     assert np.isfinite(np.asarray(film.mean)).all()
+
+
+def test_renderer_compaction_gating():
+    """ADVICE r3 (medium): with compaction=True but a non-RR integrator,
+    the renderer must keep the fully-jitted chunk fn (the compacted
+    wrapper would fall back to an UN-jitted trace)."""
+    import jax
+
+    from ptsharp_tpu.camera import Camera
+    from ptsharp_tpu.integrator import IntegratorConfig
+    from ptsharp_tpu.materials import diffuse_material, light_material
+    from ptsharp_tpu.renderer import Renderer, RenderConfig
+    from ptsharp_tpu.scene import SceneBuilder
+
+    b = SceneBuilder()
+    b.add_sphere([0, 1, 0], 1.0, diffuse_material([0.6, 0.4, 0.3]))
+    b.add_sphere([3, 6, -3], 1.5, light_material([1, 1, 1], 6.0))
+    scene = b.build()
+    cam = Camera.look_at([0, 2, -6], [0, 1, 0], [0, 1, 0], 40.0)
+    rcfg = RenderConfig(width=8, height=8, spp=2, compaction=True)
+
+    r_norr = Renderer(scene, cam, rcfg, IntegratorConfig(max_bounces=2))
+    r_norr._build_chunk_fn()
+    # jitted functions are not plain Python functions
+    assert not isinstance(r_norr._chunk_fn, type(lambda: 0)) or \
+        hasattr(r_norr._chunk_fn, "lower"), "non-RR config lost the jit"
+
+    r_rr = Renderer(scene, cam, rcfg,
+                    IntegratorConfig(max_bounces=4, russian_roulette=True))
+    r_rr._build_chunk_fn()
+    # the RR config installs the compacted python wrapper (which calls
+    # jitted prefix/tail programs internally)
+    assert isinstance(r_rr._chunk_fn, type(lambda: 0))

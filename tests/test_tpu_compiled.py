@@ -147,9 +147,13 @@ def test_compiled_hbm_fat_matches_vmem_kernel_bunny_scale():
     from ptsharp_tpu.pallas import wide_kernel as wk
     from ptsharp_tpu.scene import SceneBuilder
 
+    from ptsharp_tpu.examples import _bunny_mesh
+
     b = SceneBuilder()
-    b.add_mesh(sphere_mesh([0, 0.4, 0], 1.0, subdivisions=6),
-               diffuse_material([0.5, 0.5, 0.5]))
+    # the displaced-bunny mesh: the plain sphere-subdiv6 table shape
+    # crashes the tunnel's compile helper (exit 1, the exp_sigill hazard
+    # class) for the VMEM kernel; bunny-class tables compile reliably
+    b.add_mesh(_bunny_mesh(6), diffuse_material([0.5, 0.5, 0.5]))
     sp = b.build(leaf_size=8, intersector="pallas", wide_k=8)
     fat = jnp.asarray(hk.pack_fat(sp.p_rows, sp.p_leaf, sp.max_leaf))
     org, d = _rays(4096, seed=4)
@@ -174,9 +178,10 @@ def test_compiled_hbm_fat_anyhit_bunny_scale():
     from ptsharp_tpu.pallas import hbm_kernel as hk
     from ptsharp_tpu.scene import SceneBuilder
 
+    from ptsharp_tpu.examples import _bunny_mesh
+
     b = SceneBuilder()
-    b.add_mesh(sphere_mesh([0, 0.4, 0], 1.0, subdivisions=6),
-               diffuse_material([0.5, 0.5, 0.5]))
+    b.add_mesh(_bunny_mesh(6), diffuse_material([0.5, 0.5, 0.5]))
     sp = b.build(leaf_size=8, intersector="pallas", wide_k=8)
     fat = jnp.asarray(hk.pack_fat(sp.p_rows, sp.p_leaf, sp.max_leaf))
     org, d = _rays(4096, seed=6)
