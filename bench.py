@@ -264,9 +264,9 @@ def main():
         (
             "Mrays_per_s_per_chip_bunny82k_1080p",
             [
-                ("bunny/pallas8/1M", lambda: run_scene(
-                    "bunny", shift=20, max_measured_chunks=4,
-                    split_raygen=True, intersector="pallas", wide_k=8)),
+                # 256k chunks beat 1M (1.85 vs 1.68 measured): the larger
+                # wavefront's per-bounce argsorts cost more than the saved
+                # ~24 ms dispatches
                 ("bunny/pallas8/256k", lambda: run_scene(
                     "bunny", shift=18, max_measured_chunks=8,
                     split_raygen=True, intersector="pallas", wide_k=8)),

@@ -440,11 +440,25 @@ def _remat_policy(cfg: IntegratorConfig):
     return None
 
 
+def _mesh_root_box(scene: SceneData):
+    """The first mesh tree's root AABB (lo, hi) as traced arrays, or None.
+    Used as a sort-partition hint: rays that miss every mesh outright are
+    packed to the END of the Morton order so traversal packets are not
+    diluted by lanes with no mesh work (row 0 of any packed node table is
+    the root; fat tables interleave, row 0 is still node 0)."""
+    if scene.intersector == "pallas" and scene.p_rows.shape[0] > 0:
+        return scene.p_rows[0, 0:3], scene.p_rows[0, 3:6]
+    if scene.w_rows.shape[0] > 0 and scene.w_inst_base.shape[0] > 0:
+        row = scene.w_rows[scene.w_inst_base[0]]
+        return row[0:3], row[3:6]
+    return None
+
+
 def _sorted_closest_hit(scene: SceneData, org, dirn, t_max=None):
     """Closest-hit with the wavefront permuted into Morton/octant order so
     traversal chunks are coherent; the hit record is scattered back to the
     caller's lane order. Pure detached permutation — estimator unchanged."""
-    mk = _morton_key(org, dirn)
+    mk = _morton_key(org, dirn, box=_mesh_root_box(scene))
     perm = jnp.argsort(mk)
     tm = None
     if t_max is not None:
@@ -453,17 +467,25 @@ def _sorted_closest_hit(scene: SceneData, org, dirn, t_max=None):
             (org.shape[0],)
         )[perm]
     hit = closest_hit(scene, org[perm], dirn[perm], t_max=tm)
-    inv = jnp.argsort(perm)
+    inv = _inverse_perm(perm)
     return Hit(*(f[inv] for f in hit))
+
+
+def _inverse_perm(perm):
+    """O(n) scatter inverse of a permutation (an argsort(perm) would be a
+    second full sort per bounce)."""
+    n = perm.shape[0]
+    return jnp.zeros(n, perm.dtype).at[perm].set(
+        jnp.arange(n, dtype=perm.dtype))
 
 
 def _sorted_occlusion(scene: SceneData, org, dirn, t_cut):
     """occlusion_query with the wavefront permuted into Morton/octant order
     (same coherence win as _sorted_closest_hit, boolean result)."""
-    mk = _morton_key(org, dirn)
+    mk = _morton_key(org, dirn, box=_mesh_root_box(scene))
     perm = jnp.argsort(mk)
     occ = occlusion_query(scene, org[perm], dirn[perm], t_cut[perm])
-    return occ[jnp.argsort(perm)]
+    return occ[_inverse_perm(perm)]
 
 
 def _step(scene: SceneData, cfg: IntegratorConfig, state, rays, depth_key,
@@ -801,11 +823,12 @@ def _compact_and_finish(scene, cfg: IntegratorConfig, state: RayState,
     return radiance, rays
 
 
-def _morton_key(p, d):
-    """(R,) uint32 coherence key: 3-bit direction octant (major) + 27-bit
-    origin Morton code over the batch's bounding box. Used to pack surviving
-    bounce rays so chunked traversal sees spatially/directionally coherent
-    chunks (each 16k-chunk while_loop then exits at ITS OWN depth)."""
+def _morton_key(p, d, box=None):
+    """(R,) uint32 coherence key: [31] mesh-root-box miss bit (optional,
+    packs no-mesh-work lanes to the end so they don't dilute traversal
+    packets) | [27:30] 3-bit direction octant | [0:27] origin Morton code
+    over the batch's bounding box. Used to pack surviving bounce rays so
+    chunked traversal sees spatially/directionally coherent chunks."""
     p = jax.lax.stop_gradient(p)
     lo = jnp.min(p, axis=0)
     hi = jnp.max(p, axis=0)
@@ -825,7 +848,18 @@ def _morton_key(p, d):
         | ((d[..., 1] > 0).astype(jnp.uint32) << 1)
         | ((d[..., 2] > 0).astype(jnp.uint32) << 2)
     )
-    return (octant << 27) | m
+    key = (octant << 27) | m
+    if box is not None:
+        blo, bhi = box
+        inv = 1.0 / jnp.where(jnp.abs(d) < 1e-30,
+                              jnp.where(d < 0, -1e-30, 1e-30), d)
+        n = (blo[None, :] - p) * inv
+        f = (bhi[None, :] - p) * inv
+        t0 = jnp.max(jnp.minimum(n, f), axis=-1)
+        t1 = jnp.min(jnp.maximum(n, f), axis=-1)
+        miss = (t1 < jnp.maximum(t0, 0.0)).astype(jnp.uint32)
+        key = (miss << 31) | key
+    return key
 
 
 def _reservoir_compact(state: RayState, cap: int, key):

@@ -93,3 +93,16 @@ def load_texture(path: str) -> np.ndarray:
 
     img = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
     return img**colorlib.GAMMA
+
+
+def pow_texture(image: np.ndarray, exponent: float) -> np.ndarray:
+    """Per-texel power adjust before registration (ITexture.Pow,
+    Texture.cs:170-178 — the reference mutates loaded textures in place;
+    here textures are immutable atlas entries, so adjust the host image
+    and pass it to SceneBuilder.add_texture)."""
+    return np.power(np.asarray(image, np.float32), exponent)
+
+
+def mul_texture(image: np.ndarray, scalar: float) -> np.ndarray:
+    """Per-texel scale (ITexture.MulScalar, Texture.cs:180-186)."""
+    return np.asarray(image, np.float32) * scalar
