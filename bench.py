@@ -255,8 +255,9 @@ def main():
         (
             "Mrays_per_s_per_chip_cornell_1080p",
             [
-                ("cornell/compact/1M", lambda: run_scene(
-                    "cornell", compacted=True)),
+                # compacted trace measured 86.9 vs 103.0 plain at this
+                # pipelined 1M-chunk shape (compaction wins in the GRAD
+                # step where dead lanes cost double, not here)
                 ("cornell/1M", lambda: run_scene("cornell")),
                 ("cornell/256k", lambda: run_scene("cornell", shift=18)),
             ],
