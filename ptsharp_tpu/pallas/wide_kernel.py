@@ -749,28 +749,32 @@ def pack_flat_tables(tri_v0, tri_e1, tri_e2, instances,
     bmax_t = np.maximum(wv0, np.maximum(wv0 + we1, wv0 + we2))
     tree = bvh_mod.build(bmin_t, bmax_t, leaf_size=leaf_size)
     order = tree.order
-    nl = int(np.sum(tree.count > 0))
+
+    # vectorized leaf packing (a per-leaf Python loop costs minutes at
+    # dragon scale): every leaf owns exactly leaf_size slots; slot j of
+    # leaf l holds sorted-triangle first[l] + j when j < count[l]
+    leaf_ids = np.where(tree.count > 0)[0]
+    nl = leaf_ids.shape[0]
+    firsts = tree.first[leaf_ids].astype(np.int64)
+    counts = tree.count[leaf_ids].astype(np.int64)
+    lanes = np.arange(leaf_size, dtype=np.int64)
+    sidx = firsts[:, None] + lanes[None, :]          # (nl, leaf)
+    valid = lanes[None, :] < counts[:, None]
+    tri = order[np.where(valid, sidx, 0)]            # (nl, leaf) global tri
+    vm = valid[..., None]
+    # per-slot [v0, e1, e2] triples
+    tri9 = np.stack([
+        np.where(vm, wv0[tri], 0.0),
+        np.where(vm, we1[tri], 0.0),
+        np.where(vm, we2[tri], 0.0),
+    ], axis=2)                                        # (nl, leaf, 3, 3)
     leaf_rows = np.zeros((nl, ROW), np.float32)
-    slot_tri = np.full(nl * leaf_size, -1, np.int32)
-    slot_inst = np.full(nl * leaf_size, -1, np.int32)
+    leaf_rows[:, :leaf_size * 9] = tri9.reshape(nl, leaf_size * 9)
+    slot_tri = np.where(valid, src[tri], -1).astype(np.int32).reshape(-1)
+    slot_inst = np.where(valid, iid[tri], -1).astype(np.int32).reshape(-1)
     new_first = tree.first.copy()
-    li = 0
-    for ni in range(tree.count.shape[0]):
-        c = int(tree.count[ni])
-        if c <= 0:
-            continue
-        f = int(tree.first[ni])
-        tri = order[f:f + c]
-        row = np.zeros(ROW, np.float32)
-        for jj, t in enumerate(tri):
-            row[jj * 9:jj * 9 + 3] = wv0[t]
-            row[jj * 9 + 3:jj * 9 + 6] = we1[t]
-            row[jj * 9 + 6:jj * 9 + 9] = we2[t]
-            slot_tri[li * leaf_size + jj] = src[t]
-            slot_inst[li * leaf_size + jj] = iid[t]
-        leaf_rows[li] = row
-        new_first[ni] = li * leaf_size
-        li += 1
+    new_first[leaf_ids] = (np.arange(nl, dtype=np.int64)
+                           * leaf_size).astype(new_first.dtype)
     w = wide_mod.collapse(tree.bmin, tree.bmax, new_first,
                           np.minimum(tree.count, leaf_size),
                           tree.skip, k=k)
