@@ -98,9 +98,12 @@ class IntegratorConfig:
     sort_bounces: bool = True
     # NEE shadow rays as boolean any-hit occlusion queries (early-exit
     # Pallas kernel on mesh scenes) instead of closest-hit-must-be-the-
-    # light. Identical estimator up to epsilon placement; requires every
-    # light's own hit distance to be analytic (sphere/cube/cylinder
-    # primitives or sampled mesh triangles) — auto-falls back otherwise.
+    # light. Identical estimator up to epsilon placement for point/sphere
+    # class lights; for multi-triangle mesh lights it is the estimator-
+    # consistent refinement (sampled-point visibility — see the note in
+    # sample_lights). Requires every light's own hit distance to be
+    # analytic (sphere/cube/cylinder primitives or sampled mesh
+    # triangles) — auto-falls back otherwise.
     anyhit_shadows: bool = True
 
     def __post_init__(self):
@@ -256,7 +259,14 @@ def sample_lights(scene: SceneData, cfg: IntegratorConfig, position, normal,
             # analytic hit distance t_light (INF = grazing miss), minus a
             # margin so the light never self-occludes, bounds a boolean
             # any-hit query (Sampler.cs:261-265 semantics; the early-exit
-            # kernel makes shadow traversal much cheaper than closest-hit)
+            # kernel makes shadow traversal much cheaper than closest-hit).
+            # For multi-triangle mesh lights this is the estimator-
+            # CONSISTENT visibility: a closer emissive triangle of the
+            # same light OCCLUDES the sampled point (the area-CDF pdf is
+            # for THAT point), where the fallback path below — matching
+            # the reference — counts any emissive hit on the light
+            # instance as visible and slightly over-counts concave
+            # emitters. Flagged semantic upgrade, not drift.
             t_light = light_hit_t(scene, position, ray_dir, lidx)
             if PT_TRIANGLE in scene.light_types:
                 t_light = jnp.where(
@@ -441,16 +451,16 @@ def _remat_policy(cfg: IntegratorConfig):
 
 
 def _mesh_root_box(scene: SceneData):
-    """The first mesh tree's root AABB (lo, hi) as traced arrays, or None.
-    Used as a sort-partition hint: rays that miss every mesh outright are
-    packed to the END of the Morton order so traversal packets are not
-    diluted by lanes with no mesh work (row 0 of any packed node table is
-    the root; fat tables interleave, row 0 is still node 0)."""
-    if scene.intersector == "pallas" and scene.p_rows.shape[0] > 0:
+    """The mesh tree's WORLD-space root AABB (lo, hi) as traced arrays, or
+    None. Used as a sort-partition hint: rays that miss every mesh
+    outright are packed to the END of the Morton order so traversal
+    packets are not diluted by lanes with no mesh work. Only the flat
+    pallas table is world-space (row 0 = the root over ALL instances);
+    per-instance BLAS roots are OBJECT-space and would misclassify
+    transformed instances, so every other mode gets no hint."""
+    if scene.intersector == "pallas" and scene.p_flat \
+            and scene.p_rows.shape[0] > 0:
         return scene.p_rows[0, 0:3], scene.p_rows[0, 3:6]
-    if scene.w_rows.shape[0] > 0 and scene.w_inst_base.shape[0] > 0:
-        row = scene.w_rows[scene.w_inst_base[0]]
-        return row[0:3], row[3:6]
     return None
 
 
@@ -922,6 +932,27 @@ def _static_tail(scene, cfg: IntegratorConfig, state: RayState, krest,
     return rad, rays
 
 
+def compaction_schedule(cfg: IntegratorConfig, r: int,
+                        schedule: tuple | None = None,
+                        min_cap: int = 1 << 12) -> tuple:
+    """The static (depth, cap) reservoir schedule trace_compacted_static
+    will use for an r-ray wavefront. An EMPTY tuple means compaction
+    cannot engage (wrong specular mode, no RR, too few bounces past the
+    RR start, or the wavefront is at/below the cap already) — callers
+    that care about staying jitted (renderer._build_chunk_fn) must route
+    such shapes to the plain jitted trace instead of letting
+    trace_compacted_static's python fallback run the integrator eagerly."""
+    if cfg.specular_mode != SPECULAR_MODE_NAIVE or not cfg.russian_roulette:
+        return ()
+    if schedule is None:
+        d1 = cfg.rr_start_depth + 1
+        schedule = ((d1, max(min_cap, r // 4)),
+                    (d1 + 2, max(min_cap, r // 16)))
+    return tuple(
+        (d, c) for (d, c) in schedule if d <= cfg.max_bounces and c < r
+    )
+
+
 def trace_compacted_static(
     scene: SceneData,
     cfg: IntegratorConfig,
@@ -938,18 +969,11 @@ def trace_compacted_static(
     ~24 ms-dispatch pipeline on tunneled chips): capacities are FIXED at
     trace time — default R/4 lanes at rr_start+1, R/16 two depths later —
     and `_reservoir_compact` keeps the estimator unbiased even if more
-    lanes survive than a cap allows. Falls back to plain trace() when
-    compaction can't help."""
-    if cfg.specular_mode != SPECULAR_MODE_NAIVE or not cfg.russian_roulette:
-        return trace(scene, cfg, org, dirn, key, strat_idx, n_strat)
+    lanes survive than a cap allows. Falls back to plain (UN-jitted)
+    trace() when compaction can't help — check compaction_schedule()
+    first if you need the jitted path."""
     r = org.shape[0]
-    if schedule is None:
-        d1 = cfg.rr_start_depth + 1
-        schedule = ((d1, max(min_cap, r // 4)),
-                    (d1 + 2, max(min_cap, r // 16)))
-    schedule = tuple(
-        (d, c) for (d, c) in schedule if d <= cfg.max_bounces and c < r
-    )
+    schedule = compaction_schedule(cfg, r, schedule, min_cap)
     if not schedule:
         return trace(scene, cfg, org, dirn, key, strat_idx, n_strat)
     d_first = schedule[0][0]

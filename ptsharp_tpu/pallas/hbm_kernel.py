@@ -718,6 +718,8 @@ def _kernel8_hbm_fat_any(fat_ref, org_ref, dir_ref, tcut_ref,
                                jnp.where(d < 0, -1e-30, 1e-30), d)
 
     ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+    # inactive lanes (collapsed cut) count as resolved for the early exit
+    inact = (t0 <= 0.0).astype(jnp.int32)
 
     def cond(s):
         cur, it, occ = s
@@ -822,8 +824,9 @@ def _kernel8_hbm_fat_any(fat_ref, org_ref, dir_ref, tcut_ref,
         ray_next = jnp.where(descend & (target < BIG), target,
                              jnp.broadcast_to(skip, (G, L)))
         nxt = jnp.min(ray_next, axis=1, keepdims=True)
-        all_occ = jnp.min(occ, axis=1, keepdims=True) > 0
-        nxt = jnp.where(all_occ, end, nxt)
+        all_done = jnp.min(jnp.maximum(occ, inact), axis=1,
+                           keepdims=True) > 0
+        nxt = jnp.where(all_done, end, nxt)
         cur = jnp.where(active, nxt, cur)
         return cur, it + 1, occ
 
@@ -896,9 +899,13 @@ def pallas_traverse_hbm8(rows, leaf, org, dirn, t_max, base: int, end: int,
                          max_iters: int | None = None,
                          interpret: bool | None = None,
                          leaf_mode: int = 0):
-    """Closest-hit over [base, end) wide rows with HBM-resident tables.
-    Same contract as wide_kernel.pallas_traverse_wide8; rows/leaf must be
-    padded to BLK-row multiples (scene.build's HBM path guarantees it)."""
+    """Closest-hit over [base, end) wide rows with HBM-resident tables via
+    the block-cache design. RETAINED FOR THE RECORD ONLY: its two DMA
+    clusters per loop body desynchronize on genuinely HBM-resident
+    buffers (module docstring) — production uses pallas_traverse_hbm8_fat
+    and scene.build no longer produces the BLK-padded split tables this
+    entry point requires (pad both to BLK-row multiples if calling it
+    directly)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if max_iters is None:

@@ -510,6 +510,10 @@ def _kernel8_any(rows_ref, leaf_ref, org_ref, dir_ref, tcut_ref,
                                jnp.where(d < 0, -1e-30, 1e-30), d)
 
     ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+    # lanes with a collapsed cut (facing-away, dead, padding) are resolved
+    # from the start: without this the packet-wide early exit below could
+    # never fire in mixed packets (they can never set occ)
+    inact = (t0 <= 0.0).astype(jnp.int32)
 
     def cond(s):
         cur, it, occ = s
@@ -619,9 +623,10 @@ def _kernel8_any(rows_ref, leaf_ref, org_ref, dir_ref, tcut_ref,
         ray_next = jnp.where(descend & (target < BIG), target,
                              jnp.broadcast_to(skip, (G, L)))
         nxt = jnp.min(ray_next, axis=1, keepdims=True)
-        # packet-wide early exit: every lane resolved -> done with the tree
-        all_occ = jnp.min(occ, axis=1, keepdims=True) > 0
-        nxt = jnp.where(all_occ, end, nxt)
+        # packet-wide early exit: every lane occluded OR inactive -> done
+        all_done = jnp.min(jnp.maximum(occ, inact), axis=1,
+                           keepdims=True) > 0
+        nxt = jnp.where(all_done, end, nxt)
         cur = jnp.where(active, nxt, cur)
         return cur, it + 1, occ
 
@@ -784,8 +789,9 @@ def pack_flat_tables(tri_v0, tri_e1, tri_e2, instances,
 
 # Measured ceiling on this chip (scripts/exp_vmem_ceiling.py): 16.6 MB of
 # tables compiles and runs; 40 MB fails. The budget is the measured-GOOD
-# point, not an interpolation — tables past it fall back to the XLA wide
-# walk at build time (scene.py) so no unproven size ever reaches Mosaic.
+# point, not an interpolation — tables past it switch to the fat-row HBM
+# streaming kernel at build time (scene.py -> pallas/hbm_kernel.py), so
+# this VMEM-resident kernel never sees an unproven table size.
 VMEM_TABLE_BUDGET = int(16.6 * 1024 * 1024)
 
 

@@ -193,20 +193,30 @@ class Renderer:
         )
 
         # compaction only helps (and trace_compacted_static only engages)
-        # for RR + naive-specular configs — both static at build time. For
-        # any other config installing compacted_chunk would silently replace
-        # the fully-jitted render_chunk with an un-jitted trace() fallback.
+        # for RR + naive-specular configs with a non-empty reservoir
+        # schedule. For any other shape, compacted_chunk would silently
+        # replace the fully-jitted render_chunk with an un-jitted trace()
+        # fallback — so the schedule is re-checked per chunk SHAPE (rows
+        # and spp are static per call) and empty-schedule shapes route to
+        # the plain jitted chunk fn.
         compaction_applies = (
             icfg.russian_roulette and icfg.specular_mode == "naive"
         )
         if cfg.compaction and compaction_applies:
-            from ptsharp_tpu.integrator import trace_compacted_static
+            from ptsharp_tpu.integrator import (
+                compaction_schedule, trace_compacted_static,
+            )
 
+            plain_chunk = self._chunk_fn
             raygen_j = jax.jit(raygen, static_argnames=("rows", "spp"))
             film_j = jax.jit(film_accumulate, static_argnames=("rows", "spp"))
 
             def compacted_chunk(scene, camera, key, row0, rows, spp,
                                 weight_rows):
+                r = rows * cfg.width * spp
+                if not compaction_schedule(icfg, r):
+                    return plain_chunk(scene, camera, key, row0, rows, spp,
+                                       weight_rows)
                 org, dirn, kt, sidx2, ju, jv, inv = raygen_j(
                     scene, camera, key, row0, rows, spp
                 )

@@ -177,3 +177,21 @@ def test_renderer_compaction_gating():
     # the RR config installs the compacted python wrapper (which calls
     # jitted prefix/tail programs internally)
     assert isinstance(r_rr._chunk_fn, type(lambda: 0))
+
+
+def test_compaction_schedule_gating():
+    """compaction_schedule() returns empty for shapes where compaction
+    can't engage — the renderer uses this to keep the jitted plain path
+    (review finding: shallow-bounce or tiny-chunk shapes previously fell
+    into an un-jitted trace())."""
+    from ptsharp_tpu.integrator import IntegratorConfig, compaction_schedule
+
+    rr = IntegratorConfig(max_bounces=8, russian_roulette=True,
+                          rr_start_depth=2)
+    assert compaction_schedule(rr, 1 << 20)          # engages
+    assert not compaction_schedule(rr, 1 << 12)      # wavefront <= cap
+    shallow = IntegratorConfig(max_bounces=2, russian_roulette=True,
+                               rr_start_depth=2)
+    assert not compaction_schedule(shallow, 1 << 20)  # d1 > max_bounces
+    assert not compaction_schedule(
+        IntegratorConfig(max_bounces=8), 1 << 20)     # no RR

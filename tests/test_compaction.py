@@ -77,7 +77,9 @@ def test_trace_compacted_matches_trace():
     # majority must be bit-preserved by the scatter-back
     diff = np.abs(rb[dead] - ra[dead])
     close = diff <= 1e-5 + 1e-5 * np.abs(ra[dead])
-    assert close.mean() > 0.99
+    # tightened after the round-4 trace-loop unification (one _trace_span
+    # serves every variant): measured bit-preserved fraction 0.99916
+    assert close.mean() > 0.998
 
 
 def test_reservoir_compact_unbiased_weights():
