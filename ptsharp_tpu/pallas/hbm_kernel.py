@@ -33,6 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 import numpy as np
 
 from ptsharp_tpu.core import vec
+from ptsharp_tpu.pallas import wide_kernel as wk
 
 BIG = np.int32(2**31 - 1)
 BLK = 64  # rows per cache block (32 KB DMA)
@@ -504,18 +505,9 @@ def _kernel8_hbm_fat(fat_ref, org_ref, dir_ref, tmax_ref,
     """Fat-row streaming kernel: one (2, 128) DMA per group per iteration
     delivers the node row AND its leaf block (pack_fat layout)."""
     G, L = 8, 128
-    ox = org_ref[0, :].reshape(G, L)
-    oy = org_ref[1, :].reshape(G, L)
-    oz = org_ref[2, :].reshape(G, L)
-    dx = dir_ref[0, :].reshape(G, L)
-    dy = dir_ref[1, :].reshape(G, L)
-    dz = dir_ref[2, :].reshape(G, L)
-
-    def safe_inv(d):
-        return 1.0 / jnp.where(jnp.abs(d) < 1e-30,
-                               jnp.where(d < 0, -1e-30, 1e-30), d)
-
-    ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+    o3 = tuple(org_ref[a, :].reshape(G, L) for a in range(3))
+    d3 = tuple(dir_ref[a, :].reshape(G, L) for a in range(3))
+    i3 = tuple(wk.packet_safe_inv(d) for d in d3)
 
     def cond(s):
         cur, it, bt, bs, bu, bv = s
@@ -538,84 +530,22 @@ def _kernel8_hbm_fat(fat_ref, org_ref, dir_ref, tmax_ref,
             nscr[g, :] = fscr[2 * g]
             lscr[g, :] = fscr[2 * g + 1]
         nrow = nscr[:]
-        blkrow = lscr[:]
         bits = jax.lax.bitcast_convert_type(nrow, jnp.int32)
         first = bits[:, 6:7]
         cnt = bits[:, 7:8] & 0xFF
         skip = bits[:, 8:9]
         is_leaf = cnt > 0
 
-        def slab(lo_col, hi_col):
-            lox = (nrow[:, lo_col + 0:lo_col + 1] - ox) * ix
-            loy = (nrow[:, lo_col + 1:lo_col + 2] - oy) * iy
-            loz = (nrow[:, lo_col + 2:lo_col + 3] - oz) * iz
-            hix = (nrow[:, hi_col + 0:hi_col + 1] - ox) * ix
-            hiy = (nrow[:, hi_col + 1:hi_col + 2] - oy) * iy
-            hiz = (nrow[:, hi_col + 2:hi_col + 3] - oz) * iz
-            tmin = jnp.maximum(
-                jnp.maximum(jnp.minimum(lox, hix), jnp.minimum(loy, hiy)),
-                jnp.minimum(loz, hiz),
-            )
-            tmax = jnp.minimum(
-                jnp.minimum(jnp.maximum(lox, hix), jnp.maximum(loy, hiy)),
-                jnp.maximum(loz, hiz),
-            )
-            return tmin, tmax
-
-        tmin, tmax = slab(0, 3)
+        tmin, tmax = wk.packet_slab(nrow, 0, 3, o3, i3)
         box_hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < bt) & active
         leaf_ok = box_hit & is_leaf
 
-        for l in range(leaf_size):
-            c = l * 9
-            v0x = blkrow[:, c + 0:c + 1]
-            v0y = blkrow[:, c + 1:c + 2]
-            v0z = blkrow[:, c + 2:c + 3]
-            e1x = blkrow[:, c + 3:c + 4]
-            e1y = blkrow[:, c + 4:c + 5]
-            e1z = blkrow[:, c + 5:c + 6]
-            e2x = blkrow[:, c + 6:c + 7]
-            e2y = blkrow[:, c + 7:c + 8]
-            e2z = blkrow[:, c + 8:c + 9]
-            hx = dy * e2z - dz * e2y
-            hy = dz * e2x - dx * e2z
-            hz = dx * e2y - dy * e2x
-            det = e1x * hx + e1y * hy + e1z * hz
-            inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
-            sx = ox - v0x
-            sy = oy - v0y
-            sz = oz - v0z
-            uu = (sx * hx + sy * hy + sz * hz) * inv_det
-            qx = sy * e1z - sz * e1y
-            qy = sz * e1x - sx * e1z
-            qz = sx * e1y - sy * e1x
-            vv = (dx * qx + dy * qy + dz * qz) * inv_det
-            tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-            got = (
-                leaf_ok
-                & (jnp.abs(det) > 1e-12)
-                & (uu >= 0.0) & (uu <= 1.0)
-                & (vv >= 0.0) & (uu + vv <= 1.0)
-                & (tt > 1e-4)
-                & (tt < bt)
-            )
-            bt = jnp.where(got, tt, bt)
-            bs = jnp.where(got, first + l, bs)
-            bu = jnp.where(got, uu, bu)
-            bv = jnp.where(got, vv, bv)
+        # the leaf block arrived with the node row — no cond, no 2nd DMA
+        bt, bs, bu, bv = wk.packet_mt(
+            lscr[:], leaf_size, leaf_ok, o3, d3, first,
+            (bt, bs, bu, bv), wk.accept_closest)
 
-        target = jnp.full((G, L), BIG, jnp.int32)
-        for c in range(k):
-            cb = 9 + 6 * c
-            ctmin, ctmax = slab(cb, cb + 3)
-            cidx = bits[:, 9 + 6 * k + c:9 + 6 * k + c + 1]
-            chit = (
-                (ctmax >= jnp.maximum(ctmin, 0.0))
-                & (ctmin < bt)
-                & (cidx > 0)
-            )
-            target = jnp.where(chit & (cidx < target), cidx, target)
-
+        target = wk.packet_descend(nrow, bits, k, o3, i3, bt)
         descend = box_hit & jnp.logical_not(is_leaf)
         ray_next = jnp.where(descend & (target < BIG), target,
                              jnp.broadcast_to(skip, (G, L)))
@@ -705,19 +635,10 @@ def _kernel8_hbm_fat_any(fat_ref, org_ref, dir_ref, tcut_ref,
     retirement + packet early-exit (wide_kernel._kernel8_any semantics,
     fat-row single-DMA fetches)."""
     G, L = 8, 128
-    ox = org_ref[0, :].reshape(G, L)
-    oy = org_ref[1, :].reshape(G, L)
-    oz = org_ref[2, :].reshape(G, L)
-    dx = dir_ref[0, :].reshape(G, L)
-    dy = dir_ref[1, :].reshape(G, L)
-    dz = dir_ref[2, :].reshape(G, L)
+    o3 = tuple(org_ref[a, :].reshape(G, L) for a in range(3))
+    d3 = tuple(dir_ref[a, :].reshape(G, L) for a in range(3))
+    i3 = tuple(wk.packet_safe_inv(d) for d in d3)
     t0 = tcut_ref[0, :].reshape(G, L)
-
-    def safe_inv(d):
-        return 1.0 / jnp.where(jnp.abs(d) < 1e-30,
-                               jnp.where(d < 0, -1e-30, 1e-30), d)
-
-    ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
     # inactive lanes (collapsed cut) count as resolved for the early exit
     inact = (t0 <= 0.0).astype(jnp.int32)
 
@@ -744,82 +665,25 @@ def _kernel8_hbm_fat_any(fat_ref, org_ref, dir_ref, tcut_ref,
             nscr[g, :] = fscr[2 * g]
             lscr[g, :] = fscr[2 * g + 1]
         nrow = nscr[:]
-        blkrow = lscr[:]
         bits = jax.lax.bitcast_convert_type(nrow, jnp.int32)
+        first = bits[:, 6:7]
         cnt = bits[:, 7:8] & 0xFF
         skip = bits[:, 8:9]
         is_leaf = cnt > 0
 
-        def slab(lo_col, hi_col):
-            lox = (nrow[:, lo_col + 0:lo_col + 1] - ox) * ix
-            loy = (nrow[:, lo_col + 1:lo_col + 2] - oy) * iy
-            loz = (nrow[:, lo_col + 2:lo_col + 3] - oz) * iz
-            hix = (nrow[:, hi_col + 0:hi_col + 1] - ox) * ix
-            hiy = (nrow[:, hi_col + 1:hi_col + 2] - oy) * iy
-            hiz = (nrow[:, hi_col + 2:hi_col + 3] - oz) * iz
-            tmin = jnp.maximum(
-                jnp.maximum(jnp.minimum(lox, hix), jnp.minimum(loy, hiy)),
-                jnp.minimum(loz, hiz),
-            )
-            tmax = jnp.minimum(
-                jnp.minimum(jnp.maximum(lox, hix), jnp.maximum(loy, hiy)),
-                jnp.maximum(loz, hiz),
-            )
-            return tmin, tmax
-
-        tmin, tmax = slab(0, 3)
+        tmin, tmax = wk.packet_slab(nrow, 0, 3, o3, i3)
         box_hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < bt) & active
         leaf_ok = box_hit & is_leaf
 
-        for l in range(leaf_size):
-            c = l * 9
-            v0x = blkrow[:, c + 0:c + 1]
-            v0y = blkrow[:, c + 1:c + 2]
-            v0z = blkrow[:, c + 2:c + 3]
-            e1x = blkrow[:, c + 3:c + 4]
-            e1y = blkrow[:, c + 4:c + 5]
-            e1z = blkrow[:, c + 5:c + 6]
-            e2x = blkrow[:, c + 6:c + 7]
-            e2y = blkrow[:, c + 7:c + 8]
-            e2z = blkrow[:, c + 8:c + 9]
-            hx = dy * e2z - dz * e2y
-            hy = dz * e2x - dx * e2z
-            hz = dx * e2y - dy * e2x
-            det = e1x * hx + e1y * hy + e1z * hz
-            inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
-            sx = ox - v0x
-            sy = oy - v0y
-            sz = oz - v0z
-            uu = (sx * hx + sy * hy + sz * hz) * inv_det
-            qx = sy * e1z - sz * e1y
-            qy = sz * e1x - sx * e1z
-            qz = sx * e1y - sy * e1x
-            vv = (dx * qx + dy * qy + dz * qz) * inv_det
-            tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-            got = (
-                leaf_ok
-                & (jnp.abs(det) > 1e-12)
-                & (uu >= 0.0) & (uu <= 1.0)
-                & (vv >= 0.0) & (uu + vv <= 1.0)
-                & (tt > 1e-4)
-                & (tt < bt)
-            )
-            occ = jnp.maximum(occ, got.astype(jnp.int32))
+        def accept_any(occ_in, ok, tt, _slot, _uu, _vv):
+            return jnp.maximum(occ_in, (ok & (tt < bt)).astype(jnp.int32))
+
+        occ = wk.packet_mt(lscr[:], leaf_size, leaf_ok, o3, d3, first,
+                           occ, accept_any)
         occ_b = occ != 0
         bt = jnp.where(occ_b, -vec.INF, t0)
 
-        target = jnp.full((G, L), BIG, jnp.int32)
-        for c in range(k):
-            cb = 9 + 6 * c
-            ctmin, ctmax = slab(cb, cb + 3)
-            cidx = bits[:, 9 + 6 * k + c:9 + 6 * k + c + 1]
-            chit = (
-                (ctmax >= jnp.maximum(ctmin, 0.0))
-                & (ctmin < bt)
-                & (cidx > 0)
-            )
-            target = jnp.where(chit & (cidx < target), cidx, target)
-
+        target = wk.packet_descend(nrow, bits, k, o3, i3, bt)
         descend = box_hit & jnp.logical_not(is_leaf) & jnp.logical_not(occ_b)
         ray_next = jnp.where(descend & (target < BIG), target,
                              jnp.broadcast_to(skip, (G, L)))

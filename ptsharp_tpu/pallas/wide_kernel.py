@@ -45,6 +45,113 @@ ROW = 128    # lanes per table row
 BIG = np.int32(2**31 - 1)
 
 
+# ---------------------------------------------------------------------------
+# Shared packet arithmetic (pure jnp on (G, L) tiles — traced inline, so
+# every kernel compiles the same Mosaic code it did when these blocks were
+# copy-pasted; one source of truth for the intersection math).
+# ---------------------------------------------------------------------------
+
+
+def packet_safe_inv(d):
+    return 1.0 / jnp.where(jnp.abs(d) < 1e-30,
+                           jnp.where(d < 0, -1e-30, 1e-30), d)
+
+
+def packet_slab(nrow, lo_col, hi_col, o3, i3):
+    """Slab test of the box at columns [lo_col:lo_col+3], [hi_col:+3] of
+    each group's node row against the packet rays. o3/i3: (ox, oy, oz) /
+    inverse-direction triples, each (G, L). Returns (tmin, tmax)."""
+    ox, oy, oz = o3
+    ix, iy, iz = i3
+    lox = (nrow[:, lo_col + 0:lo_col + 1] - ox) * ix
+    loy = (nrow[:, lo_col + 1:lo_col + 2] - oy) * iy
+    loz = (nrow[:, lo_col + 2:lo_col + 3] - oz) * iz
+    hix = (nrow[:, hi_col + 0:hi_col + 1] - ox) * ix
+    hiy = (nrow[:, hi_col + 1:hi_col + 2] - oy) * iy
+    hiz = (nrow[:, hi_col + 2:hi_col + 3] - oz) * iz
+    tmin = jnp.maximum(
+        jnp.maximum(jnp.minimum(lox, hix), jnp.minimum(loy, hiy)),
+        jnp.minimum(loz, hiz),
+    )
+    tmax = jnp.minimum(
+        jnp.minimum(jnp.maximum(lox, hix), jnp.maximum(loy, hiy)),
+        jnp.maximum(loz, hiz),
+    )
+    return tmin, tmax
+
+
+def packet_mt(blkrow, leaf_size, leaf_ok, o3, d3, first, state, accept):
+    """Moller-Trumbore unroll over a packed leaf block (Triangle.cs:95-124
+    semantics). For each slot l, computes `ok` (mask of lanes whose ray
+    intersects slot l's triangle at tt > 1e-4, pre-best-t) and folds
+    state = accept(state, ok, tt, first + l, uu, vv) — accept applies its
+    own best-t / occlusion policy."""
+    ox, oy, oz = o3
+    dx, dy, dz = d3
+    for l in range(leaf_size):
+        c = l * 9
+        v0x = blkrow[:, c + 0:c + 1]
+        v0y = blkrow[:, c + 1:c + 2]
+        v0z = blkrow[:, c + 2:c + 3]
+        e1x = blkrow[:, c + 3:c + 4]
+        e1y = blkrow[:, c + 4:c + 5]
+        e1z = blkrow[:, c + 5:c + 6]
+        e2x = blkrow[:, c + 6:c + 7]
+        e2y = blkrow[:, c + 7:c + 8]
+        e2z = blkrow[:, c + 8:c + 9]
+        hx = dy * e2z - dz * e2y
+        hy = dz * e2x - dx * e2z
+        hz = dx * e2y - dy * e2x
+        det = e1x * hx + e1y * hy + e1z * hz
+        inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+        sx = ox - v0x
+        sy = oy - v0y
+        sz = oz - v0z
+        uu = (sx * hx + sy * hy + sz * hz) * inv_det
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        vv = (dx * qx + dy * qy + dz * qz) * inv_det
+        tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+        ok = (
+            leaf_ok
+            & (jnp.abs(det) > 1e-12)
+            & (uu >= 0.0) & (uu <= 1.0)
+            & (vv >= 0.0) & (uu + vv <= 1.0)
+            & (tt > 1e-4)
+        )
+        state = accept(state, ok, tt, first + l, uu, vv)
+    return state
+
+
+def packet_descend(nrow, bits, k, o3, i3, bt):
+    """K-way min-preorder child selection: slab-test the K child boxes in
+    each group's row and return the smallest hit child's preorder index
+    per lane (BIG where none hit). Absent children carry index 0 +
+    inverted boxes and are never selected."""
+    G, L = bt.shape
+    target = jnp.full((G, L), BIG, jnp.int32)
+    for c in range(k):
+        cb = 9 + 6 * c
+        ctmin, ctmax = packet_slab(nrow, cb, cb + 3, o3, i3)
+        cidx = bits[:, 9 + 6 * k + c:9 + 6 * k + c + 1]
+        chit = (
+            (ctmax >= jnp.maximum(ctmin, 0.0))
+            & (ctmin < bt)
+            & (cidx > 0)
+        )
+        target = jnp.where(chit & (cidx < target), cidx, target)
+    return target
+
+
+def accept_closest(state, ok, tt, slot, uu, vv):
+    """Closest-hit accept policy: refine (bt, bs, bu, bv)."""
+    bt, bs, bu, bv = state
+    got = ok & (tt < bt)
+    return (jnp.where(got, tt, bt), jnp.where(got, slot, bs),
+            jnp.where(got, uu, bu), jnp.where(got, vv, bv))
+
+
 class PallasTables(NamedTuple):
     """Device tables for the wide Pallas kernel, one 128-lane row per node
     and per leaf block. slot_map sends kernel-local triangle slots to the
@@ -275,18 +382,9 @@ def _kernel8(rows_ref, leaf_ref, org_ref, dir_ref, tmax_ref,
              t_ref, slot_ref, u_ref, v_ref, nscr, lscr,
              *, base, end, leaf_size, k, max_iters):
     G, L = 8, 128
-    ox = org_ref[0, :].reshape(G, L)
-    oy = org_ref[1, :].reshape(G, L)
-    oz = org_ref[2, :].reshape(G, L)
-    dx = dir_ref[0, :].reshape(G, L)
-    dy = dir_ref[1, :].reshape(G, L)
-    dz = dir_ref[2, :].reshape(G, L)
-
-    def safe_inv(d):
-        return 1.0 / jnp.where(jnp.abs(d) < 1e-30,
-                               jnp.where(d < 0, -1e-30, 1e-30), d)
-
-    ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+    o3 = tuple(org_ref[a, :].reshape(G, L) for a in range(3))
+    d3 = tuple(dir_ref[a, :].reshape(G, L) for a in range(3))
+    i3 = tuple(packet_safe_inv(d) for d in d3)
 
     def cond(s):
         cur, it, bt, bs, bu, bv = s
@@ -306,24 +404,7 @@ def _kernel8(rows_ref, leaf_ref, org_ref, dir_ref, tmax_ref,
         skip = bits[:, 8:9]
         is_leaf = cnt > 0
 
-        def slab(lo_col, hi_col):
-            lox = (nrow[:, lo_col + 0:lo_col + 1] - ox) * ix
-            loy = (nrow[:, lo_col + 1:lo_col + 2] - oy) * iy
-            loz = (nrow[:, lo_col + 2:lo_col + 3] - oz) * iz
-            hix = (nrow[:, hi_col + 0:hi_col + 1] - ox) * ix
-            hiy = (nrow[:, hi_col + 1:hi_col + 2] - oy) * iy
-            hiz = (nrow[:, hi_col + 2:hi_col + 3] - oz) * iz
-            tmin = jnp.maximum(
-                jnp.maximum(jnp.minimum(lox, hix), jnp.minimum(loy, hiy)),
-                jnp.minimum(loz, hiz),
-            )
-            tmax = jnp.minimum(
-                jnp.minimum(jnp.maximum(lox, hix), jnp.maximum(loy, hiy)),
-                jnp.maximum(loz, hiz),
-            )
-            return tmin, tmax
-
-        tmin, tmax = slab(0, 3)
+        tmin, tmax = packet_slab(nrow, 0, 3, o3, i3)
         box_hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < bt) & active
 
         # leaf phase, skipped entirely when NO group sits at a hit leaf
@@ -333,67 +414,17 @@ def _kernel8(rows_ref, leaf_ref, org_ref, dir_ref, tmax_ref,
         any_leaf = jnp.any(leaf_ok)
 
         def do_leaf(args):
-            bt, bs, bu, bv = args
             for g in range(G):
                 lj = jnp.where((bits[g, 7] & 0xFF) > 0,
                                bits[g, 6] // leaf_size, 0)
                 lscr[g, :] = leaf_ref[jnp.minimum(lj, leaf_ref.shape[0] - 1)]
-            blk = lscr[:]                                 # (G, 128)
-            for l in range(leaf_size):
-                c = l * 9
-                v0x = blk[:, c + 0:c + 1]
-                v0y = blk[:, c + 1:c + 2]
-                v0z = blk[:, c + 2:c + 3]
-                e1x = blk[:, c + 3:c + 4]
-                e1y = blk[:, c + 4:c + 5]
-                e1z = blk[:, c + 5:c + 6]
-                e2x = blk[:, c + 6:c + 7]
-                e2y = blk[:, c + 7:c + 8]
-                e2z = blk[:, c + 8:c + 9]
-                hx = dy * e2z - dz * e2y
-                hy = dz * e2x - dx * e2z
-                hz = dx * e2y - dy * e2x
-                det = e1x * hx + e1y * hy + e1z * hz
-                inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
-                sx = ox - v0x
-                sy = oy - v0y
-                sz = oz - v0z
-                uu = (sx * hx + sy * hy + sz * hz) * inv_det
-                qx = sy * e1z - sz * e1y
-                qy = sz * e1x - sx * e1z
-                qz = sx * e1y - sy * e1x
-                vv = (dx * qx + dy * qy + dz * qz) * inv_det
-                tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-                got = (
-                    leaf_ok
-                    & (jnp.abs(det) > 1e-12)
-                    & (uu >= 0.0) & (uu <= 1.0)
-                    & (vv >= 0.0) & (uu + vv <= 1.0)
-                    & (tt > 1e-4)
-                    & (tt < bt)
-                )
-                bt = jnp.where(got, tt, bt)
-                bs = jnp.where(got, first + l, bs)
-                bu = jnp.where(got, uu, bu)
-                bv = jnp.where(got, vv, bv)
-            return bt, bs, bu, bv
+            return packet_mt(lscr[:], leaf_size, leaf_ok, o3, d3, first,
+                             args, accept_closest)
 
         bt, bs, bu, bv = jax.lax.cond(any_leaf, do_leaf, lambda a: a,
                                       (bt, bs, bu, bv))
 
-        # K-way descent per group
-        target = jnp.full((G, L), BIG, jnp.int32)
-        for c in range(k):
-            cb = 9 + 6 * c
-            ctmin, ctmax = slab(cb, cb + 3)
-            cidx = bits[:, 9 + 6 * k + c:9 + 6 * k + c + 1]
-            chit = (
-                (ctmax >= jnp.maximum(ctmin, 0.0))
-                & (ctmin < bt)
-                & (cidx > 0)
-            )
-            target = jnp.where(chit & (cidx < target), cidx, target)
-
+        target = packet_descend(nrow, bits, k, o3, i3, bt)
         descend = box_hit & jnp.logical_not(is_leaf)
         ray_next = jnp.where(descend & (target < BIG), target,
                              jnp.broadcast_to(skip, (G, L)))
@@ -497,19 +528,10 @@ def _kernel8_any(rows_ref, leaf_ref, org_ref, dir_ref, tcut_ref,
                  occ_ref, nscr, lscr,
                  *, base, end, leaf_size, k, max_iters):
     G, L = 8, 128
-    ox = org_ref[0, :].reshape(G, L)
-    oy = org_ref[1, :].reshape(G, L)
-    oz = org_ref[2, :].reshape(G, L)
-    dx = dir_ref[0, :].reshape(G, L)
-    dy = dir_ref[1, :].reshape(G, L)
-    dz = dir_ref[2, :].reshape(G, L)
+    o3 = tuple(org_ref[a, :].reshape(G, L) for a in range(3))
+    d3 = tuple(dir_ref[a, :].reshape(G, L) for a in range(3))
+    i3 = tuple(packet_safe_inv(d) for d in d3)
     t0 = tcut_ref[0, :].reshape(G, L)
-
-    def safe_inv(d):
-        return 1.0 / jnp.where(jnp.abs(d) < 1e-30,
-                               jnp.where(d < 0, -1e-30, 1e-30), d)
-
-    ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
     # lanes with a collapsed cut (facing-away, dead, padding) are resolved
     # from the start: without this the packet-wide early exit below could
     # never fire in mixed packets (they can never set occ)
@@ -536,89 +558,30 @@ def _kernel8_any(rows_ref, leaf_ref, org_ref, dir_ref, tcut_ref,
         skip = bits[:, 8:9]
         is_leaf = cnt > 0
 
-        def slab(lo_col, hi_col):
-            lox = (nrow[:, lo_col + 0:lo_col + 1] - ox) * ix
-            loy = (nrow[:, lo_col + 1:lo_col + 2] - oy) * iy
-            loz = (nrow[:, lo_col + 2:lo_col + 3] - oz) * iz
-            hix = (nrow[:, hi_col + 0:hi_col + 1] - ox) * ix
-            hiy = (nrow[:, hi_col + 1:hi_col + 2] - oy) * iy
-            hiz = (nrow[:, hi_col + 2:hi_col + 3] - oz) * iz
-            tmin = jnp.maximum(
-                jnp.maximum(jnp.minimum(lox, hix), jnp.minimum(loy, hiy)),
-                jnp.minimum(loz, hiz),
-            )
-            tmax = jnp.minimum(
-                jnp.minimum(jnp.maximum(lox, hix), jnp.maximum(loy, hiy)),
-                jnp.maximum(loz, hiz),
-            )
-            return tmin, tmax
-
-        tmin, tmax = slab(0, 3)
+        tmin, tmax = packet_slab(nrow, 0, 3, o3, i3)
         box_hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < bt) & active
 
         leaf_ok = box_hit & is_leaf
         any_leaf = jnp.any(leaf_ok)
+
+        def accept_any(occ_in, ok, tt, _slot, _uu, _vv):
+            # bt == t_cut while un-occluded, -INF after
+            return jnp.maximum(occ_in, (ok & (tt < bt)).astype(jnp.int32))
 
         def do_leaf(occ_in):
             for g in range(G):
                 lj = jnp.where((bits[g, 7] & 0xFF) > 0,
                                bits[g, 6] // leaf_size, 0)
                 lscr[g, :] = leaf_ref[jnp.minimum(lj, leaf_ref.shape[0] - 1)]
-            blk = lscr[:]
-            occ_n = occ_in
-            for l in range(leaf_size):
-                c = l * 9
-                v0x = blk[:, c + 0:c + 1]
-                v0y = blk[:, c + 1:c + 2]
-                v0z = blk[:, c + 2:c + 3]
-                e1x = blk[:, c + 3:c + 4]
-                e1y = blk[:, c + 4:c + 5]
-                e1z = blk[:, c + 5:c + 6]
-                e2x = blk[:, c + 6:c + 7]
-                e2y = blk[:, c + 7:c + 8]
-                e2z = blk[:, c + 8:c + 9]
-                hx = dy * e2z - dz * e2y
-                hy = dz * e2x - dx * e2z
-                hz = dx * e2y - dy * e2x
-                det = e1x * hx + e1y * hy + e1z * hz
-                inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
-                sx = ox - v0x
-                sy = oy - v0y
-                sz = oz - v0z
-                uu = (sx * hx + sy * hy + sz * hz) * inv_det
-                qx = sy * e1z - sz * e1y
-                qy = sz * e1x - sx * e1z
-                qz = sx * e1y - sy * e1x
-                vv = (dx * qx + dy * qy + dz * qz) * inv_det
-                tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-                got = (
-                    leaf_ok
-                    & (jnp.abs(det) > 1e-12)
-                    & (uu >= 0.0) & (uu <= 1.0)
-                    & (vv >= 0.0) & (uu + vv <= 1.0)
-                    & (tt > 1e-4)
-                    & (tt < bt)   # bt == t_cut while un-occluded
-                )
-                occ_n = jnp.maximum(occ_n, got.astype(jnp.int32))
-            return occ_n
+            return packet_mt(lscr[:], leaf_size, leaf_ok, o3, d3, first,
+                             occ_in, accept_any)
 
         occ = jax.lax.cond(any_leaf, do_leaf, lambda o: o, occ)
         occ_b = occ != 0
         bt = jnp.where(occ_b, -vec.INF, t0)
 
         # descent (any order is fine for any-hit; keep min-preorder)
-        target = jnp.full((G, L), BIG, jnp.int32)
-        for c in range(k):
-            cb = 9 + 6 * c
-            ctmin, ctmax = slab(cb, cb + 3)
-            cidx = bits[:, 9 + 6 * k + c:9 + 6 * k + c + 1]
-            chit = (
-                (ctmax >= jnp.maximum(ctmin, 0.0))
-                & (ctmin < bt)
-                & (cidx > 0)
-            )
-            target = jnp.where(chit & (cidx < target), cidx, target)
-
+        target = packet_descend(nrow, bits, k, o3, i3, bt)
         descend = box_hit & jnp.logical_not(is_leaf) & jnp.logical_not(occ_b)
         ray_next = jnp.where(descend & (target < BIG), target,
                              jnp.broadcast_to(skip, (G, L)))
