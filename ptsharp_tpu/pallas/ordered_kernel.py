@@ -1,0 +1,467 @@
+"""Stack-ordered packet traversal: near-to-far descent for bounce rays.
+
+The production packet kernels (pallas/wide_kernel.py) walk the tree in
+PREORDER with skip links: each 128-lane group's cursor jumps to the
+minimum preorder index any lane wants next. Preorder is a static spatial
+order, so for rays travelling "against" it the far subtrees are visited
+before the near ones, best-t shrinks late, and the `ctmin < bt` prune
+fires rarely — the measured bounce-ray wall (BASELINE.md round-4 stage
+table: 1.66 Mrays/s, ~60% of a mesh bounce step).
+
+The reference's per-ray k-d descent is ORDERED: near child first with a
+`h1.T <= tsplit` early-out (/root/reference/PTSharpCore/Tree.cs:67-113),
+which is exactly why it visits ~30 nodes per ray. This kernel recovers
+that property for packets:
+
+  * each sublane group owns a traversal STACK carried as a (G, 128) i32
+    vector register: push = lane-roll right + insert at lane 0, pop =
+    read lane 0 + lane-roll left (sentinel `end` backfills). No SMEM, no
+    dynamic indexing — pushes/pops are dense VPU lane shifts;
+  * at an internal node the group slab-tests the K children, reduces a
+    per-child scalar key = min over lanes of the masked entry distance,
+    and pushes the hit children in DECREASING key order (selection sort
+    in (G, 1) vector ops), so the pop order is globally near-to-far for
+    the packet consensus;
+  * every iteration ends with a pop; popped nodes re-test their own box
+    against the CURRENT per-lane best-t, so subtrees that became
+    irrelevant after a nearer hit landed cost one cheap pruned iteration
+    instead of a full walk.
+
+Same tables, same results as pallas_traverse_wide8 (Tree.cs:67-128 +
+Triangle.cs:95-124 semantics); only the visit order — and therefore the
+visit COUNT — differs.
+
+Stack capacity is 128 entries/group; a push beyond that silently drops
+the DEEPEST entry, so callers must check `max_stack_bound` (= (K-1) *
+wide-tree depth) at pack time. Bunny (82k tris) bounds at ~35, dragon
+(1.3M) at ~60.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ptsharp_tpu.core import vec
+from ptsharp_tpu.pallas import wide_kernel as wk
+
+BIG = np.int32(2**31 - 1)
+
+
+def max_stack_bound(rows: np.ndarray, k: int, base: int = 0,
+                    end: int | None = None) -> int:
+    """Worst-case stack entries for an ordered walk of wide rows
+    [base, end): (K-1) pushes per level x tree depth, computed exactly by
+    a host DFS over the packed child indices."""
+    rows = np.asarray(rows)
+    if end is None:
+        end = rows.shape[0]
+    if end <= base:
+        return 0
+    bits = rows[:, :].view(np.int32)
+    cnt = bits[:, 7] & 0xFF
+    depth = np.zeros(end - base, np.int32)
+    best = 0
+    stack = [(base, 0)]
+    cidx_cols = [9 + 6 * k + c for c in range(k)]
+    while stack:
+        n, d = stack.pop()
+        best = max(best, d)
+        if cnt[n] > 0:
+            continue
+        for col in cidx_cols:
+            c = bits[n, col]
+            if c > 0:
+                stack.append((int(c), d + 1))
+    return (k - 1) * best + 1
+
+
+def _kernel8_ord(rows_ref, leaf_ref, org_ref, dir_ref, tmax_ref,
+                 *refs, base, end, leaf_size, k, max_iters, order_mode,
+                 with_iters):
+    if with_iters:
+        t_ref, slot_ref, u_ref, v_ref, it_ref, nscr, lscr = refs
+    else:
+        t_ref, slot_ref, u_ref, v_ref, nscr, lscr = refs
+        it_ref = None
+    G, L = 8, 128
+    o3 = tuple(org_ref[a, :].reshape(G, L) for a in range(3))
+    d3 = tuple(dir_ref[a, :].reshape(G, L) for a in range(3))
+    i3 = tuple(wk.packet_safe_inv(d) for d in d3)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (G, L), 1)
+    sentinel = jnp.int32(end)
+
+    def cond(s):
+        cur, stk, it, bt, bs, bu, bv = s
+        return jnp.logical_and(jnp.any(cur < end), it < max_iters)
+
+    def body(s):
+        cur, stk, it, bt, bs, bu, bv = s   # cur (G,1) i32, stk (G,L) i32
+        active = cur < end
+        for g in range(G):
+            j = jnp.minimum(cur[g, 0], end - 1)
+            nscr[g, :] = rows_ref[j]
+        nrow = nscr[:]
+        bits = jax.lax.bitcast_convert_type(nrow, jnp.int32)
+        first = bits[:, 6:7]
+        cnt = bits[:, 7:8] & 0xFF
+        is_leaf = cnt > 0
+
+        tmin, tmax = wk.packet_slab(nrow, 0, 3, o3, i3)
+        box_hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < bt) & active
+
+        leaf_ok = box_hit & is_leaf
+        any_leaf = jnp.any(leaf_ok)
+
+        def do_leaf(args):
+            for g in range(G):
+                lj = jnp.where((bits[g, 7] & 0xFF) > 0,
+                               bits[g, 6] // leaf_size, 0)
+                lscr[g, :] = leaf_ref[jnp.minimum(lj, leaf_ref.shape[0] - 1)]
+            return wk.packet_mt(lscr[:], leaf_size, leaf_ok, o3, d3, first,
+                                args, wk.accept_closest)
+
+        bt, bs, bu, bv = jax.lax.cond(any_leaf, do_leaf, lambda a: a,
+                                      (bt, bs, bu, bv))
+
+        # --- per-child group keys: min over lanes of masked entry dist ----
+        vote = box_hit & jnp.logical_not(is_leaf)   # lanes that may descend
+        kc = []     # (G, 1) f32 per child
+        ca = []     # (G, 1) bool per child (any lane hit)
+        cidx = []   # (G, 1) i32 per child
+        for c in range(k):
+            cb = 9 + 6 * c
+            ctmin, ctmax = wk.packet_slab(nrow, cb, cb + 3, o3, i3)
+            ci = bits[:, 9 + 6 * k + c:9 + 6 * k + c + 1]
+            chit = (
+                (ctmax >= jnp.maximum(ctmin, 0.0))
+                & (ctmin < bt) & vote & (ci > 0)
+            )
+            kk = jnp.min(jnp.where(chit, ctmin, vec.INF), axis=1,
+                         keepdims=True)
+            kc.append(kk)
+            ca.append(kk < vec.INF)
+            cidx.append(ci)
+
+        def push(stk, do, val):
+            rolled = pltpu.roll(stk, 1, 1)
+            inserted = jnp.where(lane == 0, val, rolled)
+            return jnp.where(do, inserted, stk)
+
+        # nearest hit child becomes cur DIRECTLY (no push+pop round trip)
+        bk = jnp.full((G, 1), vec.INF, jnp.float32)
+        bnear = jnp.full((G, 1), -1, jnp.int32)
+        bnearv = jnp.zeros((G, 1), jnp.int32)
+        for c in range(k):
+            better = ca[c] & (kc[c] < bk)
+            bk = jnp.where(better, kc[c], bk)
+            bnear = jnp.where(better, c, bnear)
+            bnearv = jnp.where(better, cidx[c], bnearv)
+
+        if order_mode == "full":
+            # remaining hit children selection-sorted: FARTHEST pushed
+            # first, so pops come off near-to-far
+            rem = [ca[c] & (bnear != c) for c in range(k)]
+            for _ in range(k - 1):
+                pk = jnp.full((G, 1), -vec.INF, jnp.float32)
+                pi = jnp.full((G, 1), -1, jnp.int32)
+                pv = jnp.zeros((G, 1), jnp.int32)
+                for c in range(k):
+                    better = rem[c] & (kc[c] >= pk)
+                    pk = jnp.where(better, kc[c], pk)
+                    pi = jnp.where(better, c, pi)
+                    pv = jnp.where(better, cidx[c], pv)
+                for c in range(k):
+                    rem[c] = rem[c] & (pi != c)
+                stk = push(stk, pi >= 0, pv)
+        else:
+            # "near": remaining hit children pushed in static reverse order
+            for c in range(k - 1, -1, -1):
+                stk = push(stk, ca[c] & (bnear != c), cidx[c])
+
+        # descend to the nearest child, else pop the stack
+        nxt_ok = bnear >= 0
+        top = stk[:, 0:1]
+        # roll by L-1 == roll by -1 (pltpu.roll requires shift >= 0)
+        popped = jnp.where(lane == L - 1, sentinel, pltpu.roll(stk, L - 1, 1))
+        stk = jnp.where(active & jnp.logical_not(nxt_ok), popped, stk)
+        cur = jnp.where(active, jnp.where(nxt_ok, bnearv, top), cur)
+        return cur, stk, it + 1, bt, bs, bu, bv
+
+    t0 = tmax_ref[0, :].reshape(G, L)
+    init = (
+        jnp.full((G, 1), base, jnp.int32),
+        jnp.full((G, L), end, jnp.int32),
+        jnp.int32(0), t0,
+        jnp.full((G, L), -1, jnp.int32),
+        jnp.zeros((G, L), jnp.float32),
+        jnp.zeros((G, L), jnp.float32),
+    )
+    _, _, it, bt, bs, bu, bv = jax.lax.while_loop(cond, body, init)
+    t_ref[0, :] = jnp.where(bs >= 0, bt, vec.INF).reshape(G * L)
+    slot_ref[0, :] = bs.reshape(G * L)
+    u_ref[0, :] = bu.reshape(G * L)
+    v_ref[0, :] = bv.reshape(G * L)
+    if it_ref is not None:
+        it_ref[0, :] = jnp.broadcast_to(it, (G * L,))
+
+
+def _kernel8_ord_any(rows_ref, leaf_ref, org_ref, dir_ref, tcut_ref,
+                     occ_ref, nscr, lscr,
+                     *, base, end, leaf_size, k, max_iters, order_mode):
+    """Any-hit ordered-stack kernel: boolean occlusion with lane
+    retirement + packet early-exit (wide_kernel._kernel8_any semantics,
+    near-to-far visit order so occluders are found sooner)."""
+    G, L = 8, 128
+    o3 = tuple(org_ref[a, :].reshape(G, L) for a in range(3))
+    d3 = tuple(dir_ref[a, :].reshape(G, L) for a in range(3))
+    i3 = tuple(wk.packet_safe_inv(d) for d in d3)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (G, L), 1)
+    sentinel = jnp.int32(end)
+    t0 = tcut_ref[0, :].reshape(G, L)
+    inact = (t0 <= 0.0).astype(jnp.int32)
+
+    def cond(s):
+        cur, stk, it, occ = s
+        return jnp.logical_and(jnp.any(cur < end), it < max_iters)
+
+    def body(s):
+        cur, stk, it, occ = s
+        active = cur < end
+        occ_b = occ != 0
+        bt = jnp.where(occ_b, -vec.INF, t0)
+        for g in range(G):
+            j = jnp.minimum(cur[g, 0], end - 1)
+            nscr[g, :] = rows_ref[j]
+        nrow = nscr[:]
+        bits = jax.lax.bitcast_convert_type(nrow, jnp.int32)
+        first = bits[:, 6:7]
+        cnt = bits[:, 7:8] & 0xFF
+        is_leaf = cnt > 0
+
+        tmin, tmax = wk.packet_slab(nrow, 0, 3, o3, i3)
+        box_hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < bt) & active
+        leaf_ok = box_hit & is_leaf
+        any_leaf = jnp.any(leaf_ok)
+
+        def accept_any(occ_in, ok, tt, _slot, _uu, _vv):
+            return jnp.maximum(occ_in, (ok & (tt < bt)).astype(jnp.int32))
+
+        def do_leaf(occ_in):
+            for g in range(G):
+                lj = jnp.where((bits[g, 7] & 0xFF) > 0,
+                               bits[g, 6] // leaf_size, 0)
+                lscr[g, :] = leaf_ref[jnp.minimum(lj, leaf_ref.shape[0] - 1)]
+            return wk.packet_mt(lscr[:], leaf_size, leaf_ok, o3, d3, first,
+                                occ_in, accept_any)
+
+        occ = jax.lax.cond(any_leaf, do_leaf, lambda o: o, occ)
+        occ_b = occ != 0
+        bt = jnp.where(occ_b, -vec.INF, t0)
+
+        vote = box_hit & jnp.logical_not(is_leaf) & jnp.logical_not(occ_b)
+        kc, ca, cidx = [], [], []
+        for c in range(k):
+            cb = 9 + 6 * c
+            ctmin, ctmax = wk.packet_slab(nrow, cb, cb + 3, o3, i3)
+            ci = bits[:, 9 + 6 * k + c:9 + 6 * k + c + 1]
+            chit = (
+                (ctmax >= jnp.maximum(ctmin, 0.0))
+                & (ctmin < bt) & vote & (ci > 0)
+            )
+            kk = jnp.min(jnp.where(chit, ctmin, vec.INF), axis=1,
+                         keepdims=True)
+            kc.append(kk)
+            ca.append(kk < vec.INF)
+            cidx.append(ci)
+
+        def push(stk, do, val):
+            rolled = pltpu.roll(stk, 1, 1)
+            inserted = jnp.where(lane == 0, val, rolled)
+            return jnp.where(do, inserted, stk)
+
+        bk = jnp.full((G, 1), vec.INF, jnp.float32)
+        bnear = jnp.full((G, 1), -1, jnp.int32)
+        bnearv = jnp.zeros((G, 1), jnp.int32)
+        for c in range(k):
+            better = ca[c] & (kc[c] < bk)
+            bk = jnp.where(better, kc[c], bk)
+            bnear = jnp.where(better, c, bnear)
+            bnearv = jnp.where(better, cidx[c], bnearv)
+        if order_mode == "full":
+            rem = [ca[c] & (bnear != c) for c in range(k)]
+            for _ in range(k - 1):
+                pk = jnp.full((G, 1), -vec.INF, jnp.float32)
+                pi = jnp.full((G, 1), -1, jnp.int32)
+                pv = jnp.zeros((G, 1), jnp.int32)
+                for c in range(k):
+                    better = rem[c] & (kc[c] >= pk)
+                    pk = jnp.where(better, kc[c], pk)
+                    pi = jnp.where(better, c, pi)
+                    pv = jnp.where(better, cidx[c], pv)
+                for c in range(k):
+                    rem[c] = rem[c] & (pi != c)
+                stk = push(stk, pi >= 0, pv)
+        else:
+            for c in range(k - 1, -1, -1):
+                stk = push(stk, ca[c] & (bnear != c), cidx[c])
+
+        nxt_ok = bnear >= 0
+        top = stk[:, 0:1]
+        popped = jnp.where(lane == L - 1, sentinel, pltpu.roll(stk, L - 1, 1))
+        stk = jnp.where(active & jnp.logical_not(nxt_ok), popped, stk)
+        nxt = jnp.where(nxt_ok, bnearv, top)
+        # packet-wide early exit: every lane occluded OR inactive -> done
+        all_done = jnp.min(jnp.maximum(occ, inact), axis=1,
+                           keepdims=True) > 0
+        nxt = jnp.where(all_done, end, nxt)
+        cur = jnp.where(active, nxt, cur)
+        return cur, stk, it + 1, occ
+
+    init = (
+        jnp.full((G, 1), base, jnp.int32),
+        jnp.full((G, L), end, jnp.int32),
+        jnp.int32(0),
+        jnp.zeros((G, L), jnp.int32),
+    )
+    _, _, _, occ = jax.lax.while_loop(cond, body, init)
+    occ_ref[0, :] = occ.reshape(G * L)
+
+
+def pallas_occluded_ordered8(rows, leaf, org, dirn, t_cut,
+                             base: int, end: int,
+                             leaf_size: int, k: int,
+                             max_iters: int | None = None,
+                             interpret: bool | None = None,
+                             order_mode: str = "full"):
+    """Any-hit query over [base, end) wide rows with ordered-stack
+    traversal. Same contract as wide_kernel.pallas_occluded_wide8."""
+    if max_iters is None:
+        max_iters = int(end) - int(base) + 2
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    tile = 1024
+    org = jax.lax.stop_gradient(org)
+    dirn = jax.lax.stop_gradient(dirn)
+    r = org.shape[0]
+    tc = jnp.broadcast_to(
+        jax.lax.stop_gradient(jnp.asarray(t_cut, jnp.float32)), (r,)
+    )
+    pad = (-r) % tile
+    if pad:
+        org = jnp.concatenate([org, jnp.zeros((pad, 3), org.dtype)])
+        dirn = jnp.concatenate([dirn, jnp.ones((pad, 3), dirn.dtype)])
+        tc = jnp.concatenate([tc, jnp.full((pad,), -vec.INF, jnp.float32)])
+    rp = r + pad
+    n_tiles = rp // tile
+    org_t = org.T.reshape(3, rp)
+    dir_t = dirn.T.reshape(3, rp)
+    tc2 = tc.reshape(1, rp)
+    kern = functools.partial(
+        _kernel8_ord_any, base=int(base), end=int(end),
+        leaf_size=int(leaf_size), k=int(k), max_iters=int(max_iters),
+        order_mode=order_mode,
+    )
+    ray_spec = pl.BlockSpec((3, tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    occ = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        out_shape=jax.ShapeDtypeStruct((1, rp), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            ray_spec, ray_spec, row_spec,
+        ],
+        out_specs=row_spec,
+        scratch_shapes=[
+            pltpu.VMEM((8, 128), jnp.float32),
+            pltpu.VMEM((8, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(rows, leaf, org_t, dir_t, tc2)
+    return occ[0, :r] != 0
+
+
+def pallas_traverse_ordered8(rows, leaf, org, dirn, t_max,
+                             base: int, end: int,
+                             leaf_size: int, k: int,
+                             max_iters: int | None = None,
+                             interpret: bool | None = None,
+                             order_mode: str = "full",
+                             return_iters: bool = False):
+    """Closest-hit over [base, end) wide rows with near-to-far ordered
+    stack traversal. Same contract (tables, results, slot space) as
+    pallas_traverse_wide8. order_mode: "full" = selection-sorted push
+    order, "near" = nearest-first + static-order push (cheaper per
+    iteration, weaker ordering)."""
+    if max_iters is None:
+        max_iters = int(end) - int(base) + 2
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    tile = 1024
+    org = jax.lax.stop_gradient(org)
+    dirn = jax.lax.stop_gradient(dirn)
+    r = org.shape[0]
+    tm = jnp.broadcast_to(
+        jax.lax.stop_gradient(jnp.asarray(t_max, jnp.float32)), (r,)
+    )
+    pad = (-r) % tile
+    if pad:
+        org = jnp.concatenate([org, jnp.zeros((pad, 3), org.dtype)])
+        dirn = jnp.concatenate([dirn, jnp.ones((pad, 3), dirn.dtype)])
+        tm = jnp.concatenate([tm, jnp.full((pad,), -vec.INF, jnp.float32)])
+    rp = r + pad
+    n_tiles = rp // tile
+    org_t = org.T.reshape(3, rp)
+    dir_t = dirn.T.reshape(3, rp)
+    tm2 = tm.reshape(1, rp)
+
+    kern = functools.partial(
+        _kernel8_ord, base=int(base), end=int(end),
+        leaf_size=int(leaf_size), k=int(k), max_iters=int(max_iters),
+        order_mode=order_mode, with_iters=bool(return_iters),
+    )
+    out_shapes = [
+        jax.ShapeDtypeStruct((1, rp), jnp.float32),
+        jax.ShapeDtypeStruct((1, rp), jnp.int32),
+        jax.ShapeDtypeStruct((1, rp), jnp.float32),
+        jax.ShapeDtypeStruct((1, rp), jnp.float32),
+    ]
+    if return_iters:
+        out_shapes.append(jax.ShapeDtypeStruct((1, rp), jnp.int32))
+    ray_spec = pl.BlockSpec((3, tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        out_shape=tuple(out_shapes),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # node rows (full)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # leaf rows (full)
+            ray_spec, ray_spec, row_spec,
+        ],
+        out_specs=(row_spec,) * len(out_shapes),
+        scratch_shapes=[
+            pltpu.VMEM((8, 128), jnp.float32),
+            pltpu.VMEM((8, 128), jnp.float32),
+        ],
+        # the default 16 MB scoped-vmem ceiling rejects bunny-scale tables
+        # with this kernel's extra stack/ordering temporaries; v5e has
+        # 128 MB of VMEM — raise the cap and let real hardware limits bind
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(rows, leaf, org_t, dir_t, tm2)
+    return tuple(o[0, :r] for o in outs)

@@ -75,6 +75,7 @@ _META_FIELDS = [
     "cyl_xform", "max_leaf", "env_texture", "has_surface_maps",
     "tlas_end", "use_tlas", "intersector", "wide_k", "w_tlas_end",
     "p_inst_base", "p_inst_end", "light_types", "p_hbm", "p_flat",
+    "p_ordered",
 ]
 
 
@@ -233,6 +234,11 @@ class SceneData:
     p_flat: bool  # pallas tables are ONE world-space tree over all
     # instances (kernel slots map through p_slot_tri/p_slot_inst); False =
     # per-mesh tables with per-instance object-space dispatch
+    p_ordered: bool  # closest-hit uses the near-to-far ordered-stack
+    # kernel (pallas/ordered_kernel.py) on VMEM-resident tables: measured
+    # 2.12 vs 1.74 Mrays/s on sorted bounce rays (scripts/exp_ordered2.py).
+    # Any-hit keeps the preorder skip-walk (measured tie; early-exit
+    # already bounds its work)
 
     @property
     def num_lights(self) -> int:
@@ -453,7 +459,8 @@ class SceneBuilder:
     # -- freeze ------------------------------------------------------------
 
     def build(self, leaf_size: int = 8, use_tlas: bool | None = None,
-              intersector: str = "wide", wide_k: int = 4) -> SceneData:
+              intersector: str = "wide", wide_k: int = 4,
+              pallas_ordered: bool = True) -> SceneData:
         """intersector: mesh triangle path. "wide" (K-wide node rows: one
         gather per arrived node tests K child boxes — fewest gathers per
         ray, the measured traversal bound), "walk" (binary packed skip-link
@@ -1019,6 +1026,7 @@ class SceneBuilder:
             light_types=tuple(sorted({lt[0] for lt in self._lights})),
             p_hbm=bool(p_hbm),
             p_flat=bool(p_flat),
+            p_ordered=bool(pallas_ordered),
             has_surface_maps=any(
                 m.normal_texture >= 0 or m.bump_texture >= 0
                 for m in self._materials

@@ -1,6 +1,7 @@
 """Gradient checks: AD through the wavefront integrator vs central finite
 differences on material / emitter parameters (SURVEY.md §7 step 8)."""
 
+import pytest
 from dataclasses import replace
 
 import jax
@@ -79,6 +80,7 @@ def test_grad_env_color():
     assert np.asarray(g).sum() > 0.0
 
 
+@pytest.mark.slow
 def test_grad_through_mesh_scene_is_finite():
     """BVH traversal is stop-gradiented; grads w.r.t. materials must still
     be finite and nonzero in a mesh scene."""
@@ -102,6 +104,7 @@ def test_grad_through_mesh_scene_is_finite():
     assert np.abs(g).sum() > 0.0
 
 
+@pytest.mark.slow
 def test_grad_compacted_matches_plain():
     """Gradient through trace_compacted_static vs plain trace (the grad
     bench runs the compacted path: dead lanes cost double in fwd+bwd,

@@ -59,6 +59,7 @@ print(f"LOSS {float(loss):.9f}", flush=True)
 """)
 
 
+@pytest.mark.slow
 def test_two_process_distributed_train_step():
     with socket.socket() as s:
         s.bind(("localhost", 0))

@@ -2,6 +2,7 @@
 the exact per-light sum (LIGHT_MODE_ALL) and flat scaling in light count
 (reference runway class, Example.cs:1028-1082)."""
 
+import pytest
 import time
 from dataclasses import replace
 
@@ -34,6 +35,7 @@ def _down_rays(n, key):
     return org, d
 
 
+@pytest.mark.slow
 def test_power_mode_matches_random_mode_expectation():
     """POWER and RANDOM are both sum estimators (the reference's RANDOM
     multiplies by nLights, Sampler.cs:205-209; ALL divides — the two

@@ -2,6 +2,7 @@
 naive (no-NEE) estimator — both target the same integral (VERDICT item 7;
 reference registers any emissive shape as a light, Scene.cs:29-38)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -43,6 +44,7 @@ def test_quad_light_registered():
     np.testing.assert_allclose(np.asarray(s.em_cdf), [0.5, 1.0], rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_quad_light_nee_matches_naive():
     s = _quad_light_scene()
     nee = _trace_grid(s, IntegratorConfig(max_bounces=1), spp=2048)
@@ -82,6 +84,7 @@ def test_partially_emissive_mesh_ke_path():
     np.testing.assert_allclose(nee.mean(), naive.mean(), rtol=0.06)
 
 
+@pytest.mark.slow
 def test_transformed_emissive_instance():
     """Mesh-light geometry follows the instance transform."""
     from ptsharp_tpu.core.transform import translate

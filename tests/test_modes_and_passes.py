@@ -1,6 +1,7 @@
 """VERDICT round-1 test gaps: SpecularMode All, adaptive/firefly pass
 correctness, texture-parameter gradients."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -49,6 +50,7 @@ def _render_mean(scene, icfg, spp, seed=0, n=6):
     return np.asarray(res.radiance).reshape(spp, n * n, 3).mean(axis=0)
 
 
+@pytest.mark.slow
 def test_specular_mode_all_same_expectation():
     """SpecularModeAll (bounded branch split every early bounce,
     Sampler.cs:85-94) targets the same integral as naive and first."""
@@ -140,6 +142,7 @@ def test_firefly_pass_resamples_outliers():
     assert np.isfinite(np.asarray(film.color_srgb())).all()
 
 
+@pytest.mark.slow
 def test_texture_parameter_gradient():
     """North star: radiance must differentiate w.r.t. texture atlas texels
     (bilinear sampling is smooth). AD gradient vs finite differences."""

@@ -3,6 +3,7 @@ through both the raw entry point and the intersector="pallas" dispatch
 (interpret mode on CPU; the compiled path is exercised on real TPUs by
 scripts/exp_widepallas.py and bench.py)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -117,6 +118,7 @@ def test_wide_pallas_tmax():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_wide_pallas_render_smoke():
     """Full trace through the pallas dispatch matches the wide-walk trace
     (same scene, same key -> identical sampling decisions)."""

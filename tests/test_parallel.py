@@ -30,6 +30,7 @@ CFG = IntegratorConfig(max_bounces=2)
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_sharded_render_matches_expectation():
     """8-device sharded render must estimate the same image as the
     single-device render (different RNG streams -> compare converged-ish
@@ -47,6 +48,7 @@ def test_sharded_render_matches_expectation():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_sharded_output_sharding():
     """Output rows must actually be sharded over dp."""
     mesh = make_mesh(dp=4, sp=2)
@@ -87,6 +89,7 @@ def test_graft_entry_single_chip():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_graft_entry_multichip():
     import sys
 

@@ -3,6 +3,7 @@ must agree exactly with the brute-force per-type passes + per-instance BVH
 loops on heterogeneous scenes (the reference's top-level tree, Tree.cs:22-42,
 Scene.cs:56-66)."""
 
+import pytest
 import math
 
 import jax
@@ -96,6 +97,7 @@ def test_tlas_auto_heuristic():
     assert not b2.build().use_tlas
 
 
+@pytest.mark.slow
 def test_tlas_render_smoke():
     """A full render through the TLAS path stays finite and matches the
     brute-force image."""
