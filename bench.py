@@ -39,6 +39,21 @@ import jax.numpy as jnp
 BASELINE_MRAYS_PER_CHIP = 62.5  # 1 Grays/s / 16 chips (BASELINE.json target)
 
 
+def _log_builder(scene_name):
+    """Record WHICH BVH builder produced this scene's tables (stderr note;
+    round-4 verdict: nothing recorded whether the benched tables were SAH
+    or Morton, so the builder-quality lever could not be ranked)."""
+    import sys
+
+    from ptsharp_tpu.accel import bvh as bvh_mod
+
+    print(json.dumps({
+        "note": "bvh_builder", "scene": scene_name,
+        "last": bvh_mod.last_builder,
+        "counts": dict(bvh_mod.build_counts),
+    }), file=sys.stderr)
+
+
 def _pixel_chunk(ci, pix_per_chunk, width, height):
     n_pixels = width * height
     start = (ci * pix_per_chunk) % n_pixels
@@ -73,6 +88,7 @@ def run_scene(name, width=1920, height=1080, spp=64, max_measured_chunks=16,
     from ptsharp_tpu.integrator import trace, trace_compacted_static
 
     scene, cam, _rcfg, icfg = examples.build(name, **scene_kw)
+    _log_builder(name)
     tracer = trace_compacted_static if compacted else trace
     pix_per_chunk = 1 << shift
 
@@ -180,6 +196,7 @@ def run_closest_hit(name, r=1 << 20, chunks=4, **scene_kw):
     from ptsharp_tpu.intersect import closest_hit
 
     scene, cam, _rcfg, _icfg = examples.build(name, **scene_kw)
+    _log_builder(name)
     w, h = 1920, 1080
     morder = _morton_pixel_order(w, h)
     key = jax.random.PRNGKey(7)
@@ -267,7 +284,14 @@ def main():
             [
                 # 256k chunks beat 1M (1.85 vs 1.68 measured): the larger
                 # wavefront's per-bounce argsorts cost more than the saved
-                # ~24 ms dispatches
+                # ~24 ms dispatches. compacted=True engages the no-RR
+                # reservoir schedule (round-5: 2.37 vs 1.79 plain — the
+                # depth profile showed ~40% of the trace was fixed-width
+                # work on dead lanes) on top of the ordered-stack kernel.
+                ("bunny/pallas8/256k/compact", lambda: run_scene(
+                    "bunny", shift=18, max_measured_chunks=8,
+                    split_raygen=True, intersector="pallas", wide_k=8,
+                    compacted=True)),
                 ("bunny/pallas8/256k", lambda: run_scene(
                     "bunny", shift=18, max_measured_chunks=8,
                     split_raygen=True, intersector="pallas", wide_k=8)),
@@ -277,6 +301,21 @@ def main():
                 ("bunny/wide/64k", lambda: run_scene(
                     "bunny", shift=16, max_measured_chunks=8,
                     split_raygen=True)),
+            ],
+        ),
+        (
+            # dragon END-TO-END (the reference renders its dragon fully,
+            # Example.cs:977-995): full trace with NEE at HBM-table scale
+            # through the fat-row streaming kernels
+            "Mrays_per_s_per_chip_dragon_full_trace",
+            [
+                ("dragon_hd/full/256k/compact", lambda: run_scene(
+                    "dragon_hd", shift=18, max_measured_chunks=4,
+                    split_raygen=True, intersector="pallas", wide_k=8,
+                    compacted=True)),
+                ("dragon_hd/full/256k", lambda: run_scene(
+                    "dragon_hd", shift=18, max_measured_chunks=4,
+                    split_raygen=True, intersector="pallas", wide_k=8)),
             ],
         ),
         (

@@ -937,17 +937,30 @@ def compaction_schedule(cfg: IntegratorConfig, r: int,
                         min_cap: int = 1 << 12) -> tuple:
     """The static (depth, cap) reservoir schedule trace_compacted_static
     will use for an r-ray wavefront. An EMPTY tuple means compaction
-    cannot engage (wrong specular mode, no RR, too few bounces past the
-    RR start, or the wavefront is at/below the cap already) — callers
-    that care about staying jitted (renderer._build_chunk_fn) must route
-    such shapes to the plain jitted trace instead of letting
-    trace_compacted_static's python fallback run the integrator eagerly."""
-    if cfg.specular_mode != SPECULAR_MODE_NAIVE or not cfg.russian_roulette:
+    cannot engage (wrong specular mode, too few bounces, or the wavefront
+    is at/below the cap already) — callers that care about staying jitted
+    (renderer._build_chunk_fn) must route such shapes to the plain jitted
+    trace instead of letting trace_compacted_static's python fallback run
+    the integrator eagerly.
+
+    RR is NOT required: env-miss and emissive-termination kill most lanes
+    by mid-depth in ordinary scenes too (measured bunny 256k: alive
+    100%/46%/18%/9% after depths 1-4), and every fixed-width stage
+    (shading, NEE, sorts, RNG) pays full width for dead lanes — the
+    round-5 depth profile attributed ~40% of the trace to exactly that.
+    The reservoir stays unbiased when a cap underestimates survivors
+    (S/cap reweighting), so a static halving schedule is safe."""
+    if cfg.specular_mode != SPECULAR_MODE_NAIVE:
         return ()
     if schedule is None:
-        d1 = cfg.rr_start_depth + 1
-        schedule = ((d1, max(min_cap, r // 4)),
-                    (d1 + 2, max(min_cap, r // 16)))
+        if cfg.russian_roulette:
+            d1 = cfg.rr_start_depth + 1
+            schedule = ((d1, max(min_cap, r // 4)),
+                        (d1 + 2, max(min_cap, r // 16)))
+        else:
+            schedule = ((2, max(min_cap, r // 2)),
+                        (3, max(min_cap, r // 4)),
+                        (4, max(min_cap, r // 8)))
     return tuple(
         (d, c) for (d, c) in schedule if d <= cfg.max_bounces and c < r
     )

@@ -429,7 +429,18 @@ def closest_hit(scene: SceneData, org, dirn, t_max=None) -> Hit:
     n_inst = scene.inst_inv.shape[0]
     if not scene.use_tlas and n_inst > 0 and scene.intersector == "pallas" \
             and scene.p_flat:
-        if scene.p_hbm:
+        if scene.p_hbm and scene.p_ordered:
+            # ordered-stack + pipelined-DMA fat kernel: +59% on sorted
+            # bounce rays, ties coherent primaries (exp_ordfat.py)
+            from ptsharp_tpu.pallas import ordered_kernel as okk
+
+            t, kslot, u, v = okk.pallas_traverse_ordered8_fat(
+                scene.p_rows, org, dirn, best_t,
+                scene.p_inst_base[0], scene.p_inst_end[0],
+                scene.max_leaf, scene.wide_k,
+                order_mode="near", pipelined=True,
+            )
+        elif scene.p_hbm:
             from ptsharp_tpu.pallas import hbm_kernel as hk
 
             t, kslot, u, v = hk.pallas_traverse_hbm8_fat(
@@ -486,7 +497,16 @@ def closest_hit(scene: SceneData, org, dirn, t_max=None) -> Hit:
                     scene.u_inst_base[i], scene.u_inst_end[i], scene.max_leaf,
                 )
             elif scene.intersector == "pallas":
-                if scene.p_hbm:
+                if scene.p_hbm and scene.p_ordered:
+                    from ptsharp_tpu.pallas import ordered_kernel as okk
+
+                    t, slot, u, v = okk.pallas_traverse_ordered8_fat(
+                        scene.p_rows, o, d, best_t,
+                        scene.p_inst_base[i], scene.p_inst_end[i],
+                        scene.max_leaf, scene.wide_k,
+                        order_mode="near", pipelined=True,
+                    )
+                elif scene.p_hbm:
                     # larger-than-VMEM tables: fat-row HBM streaming
                     from ptsharp_tpu.pallas import hbm_kernel as hk
 

@@ -333,6 +333,224 @@ def _kernel8_ord_any(rows_ref, leaf_ref, org_ref, dir_ref, tcut_ref,
     occ_ref[0, :] = occ.reshape(G * L)
 
 
+def _kernel8_ord_fat(fat_ref, org_ref, dir_ref, tmax_ref,
+                     t_ref, slot_ref, u_ref, v_ref, fscr, nscr, lscr, nsem,
+                     *, base, end, leaf_size, k, max_iters, order_mode,
+                     pipelined):
+    """Ordered-stack traversal over a pack_fat HBM table: one (2, 128)
+    DMA per group per iteration (the proven single-cluster discipline,
+    hbm_kernel module docstring) delivering node row + leaf block.
+
+    pipelined=True: the NEXT iteration's DMA starts BEFORE this
+    iteration's Möller–Trumbore unroll, so the fetch latency hides behind
+    the leaf compute. The descent then selects children with the
+    PRE-leaf best-t (stale by one leaf update) — visits only grow, never
+    drop, so results are identical; the trade is a few extra pruned
+    iterations against ~400 ops of DMA shadow per step."""
+    G, L = 8, 128
+    o3 = tuple(org_ref[a, :].reshape(G, L) for a in range(3))
+    d3 = tuple(dir_ref[a, :].reshape(G, L) for a in range(3))
+    i3 = tuple(wk.packet_safe_inv(d) for d in d3)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (G, L), 1)
+    sentinel = jnp.int32(end)
+
+    def start_fetch(cur):
+        j = jnp.minimum(cur, end - 1)
+        for g in range(G):
+            pltpu.make_async_copy(
+                fat_ref.at[pl.ds(2 * j[g, 0], 2)],
+                fscr.at[pl.ds(2 * g, 2)], nsem.at[g]).start()
+
+    def wait_fetch(cur):
+        j = jnp.minimum(cur, end - 1)
+        for g in range(G):
+            pltpu.make_async_copy(
+                fat_ref.at[pl.ds(2 * j[g, 0], 2)],
+                fscr.at[pl.ds(2 * g, 2)], nsem.at[g]).wait()
+
+    def cond(s):
+        cur, stk, it, bt, bs, bu, bv = s
+        return jnp.logical_and(jnp.any(cur < end), it < max_iters)
+
+    def body(s):
+        cur, stk, it, bt, bs, bu, bv = s
+        active = cur < end
+        if pipelined:
+            # the DMA for `cur` was started by the previous iteration
+            wait_fetch(cur)
+        else:
+            start_fetch(cur)
+            wait_fetch(cur)
+        for g in range(G):
+            nscr[g, :] = fscr[2 * g]
+            lscr[g, :] = fscr[2 * g + 1]
+        nrow = nscr[:]
+        bits = jax.lax.bitcast_convert_type(nrow, jnp.int32)
+        first = bits[:, 6:7]
+        cnt = bits[:, 7:8] & 0xFF
+        is_leaf = cnt > 0
+
+        tmin, tmax = wk.packet_slab(nrow, 0, 3, o3, i3)
+        box_hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < bt) & active
+        leaf_ok = box_hit & is_leaf
+
+        def descend_phase(stk, bt):
+            vote = box_hit & jnp.logical_not(is_leaf)
+            kc, ca, cidx = [], [], []
+            for c in range(k):
+                cb = 9 + 6 * c
+                ctmin, ctmax = wk.packet_slab(nrow, cb, cb + 3, o3, i3)
+                ci = bits[:, 9 + 6 * k + c:9 + 6 * k + c + 1]
+                chit = (
+                    (ctmax >= jnp.maximum(ctmin, 0.0))
+                    & (ctmin < bt) & vote & (ci > 0)
+                )
+                kk = jnp.min(jnp.where(chit, ctmin, vec.INF), axis=1,
+                             keepdims=True)
+                kc.append(kk)
+                ca.append(kk < vec.INF)
+                cidx.append(ci)
+
+            def push(stk, do, val):
+                rolled = pltpu.roll(stk, 1, 1)
+                inserted = jnp.where(lane == 0, val, rolled)
+                return jnp.where(do, inserted, stk)
+
+            bk = jnp.full((G, 1), vec.INF, jnp.float32)
+            bnear = jnp.full((G, 1), -1, jnp.int32)
+            bnearv = jnp.zeros((G, 1), jnp.int32)
+            for c in range(k):
+                better = ca[c] & (kc[c] < bk)
+                bk = jnp.where(better, kc[c], bk)
+                bnear = jnp.where(better, c, bnear)
+                bnearv = jnp.where(better, cidx[c], bnearv)
+            if order_mode == "full":
+                rem = [ca[c] & (bnear != c) for c in range(k)]
+                for _ in range(k - 1):
+                    pk = jnp.full((G, 1), -vec.INF, jnp.float32)
+                    pi = jnp.full((G, 1), -1, jnp.int32)
+                    pv = jnp.zeros((G, 1), jnp.int32)
+                    for c in range(k):
+                        better = rem[c] & (kc[c] >= pk)
+                        pk = jnp.where(better, kc[c], pk)
+                        pi = jnp.where(better, c, pi)
+                        pv = jnp.where(better, cidx[c], pv)
+                    for c in range(k):
+                        rem[c] = rem[c] & (pi != c)
+                    stk = push(stk, pi >= 0, pv)
+            else:
+                for c in range(k - 1, -1, -1):
+                    stk = push(stk, ca[c] & (bnear != c), cidx[c])
+
+            nxt_ok = bnear >= 0
+            top = stk[:, 0:1]
+            popped = jnp.where(lane == L - 1, sentinel,
+                               pltpu.roll(stk, L - 1, 1))
+            stk = jnp.where(active & jnp.logical_not(nxt_ok), popped, stk)
+            new_cur = jnp.where(active, jnp.where(nxt_ok, bnearv, top), cur)
+            return stk, new_cur
+
+        if pipelined:
+            # descend with the pre-leaf bt, start the next DMA, THEN run
+            # the leaf unroll in the fetch shadow
+            stk, new_cur = descend_phase(stk, bt)
+            start_fetch(new_cur)
+            bt, bs, bu, bv = wk.packet_mt(
+                lscr[:], leaf_size, leaf_ok, o3, d3, first,
+                (bt, bs, bu, bv), wk.accept_closest)
+        else:
+            bt, bs, bu, bv = wk.packet_mt(
+                lscr[:], leaf_size, leaf_ok, o3, d3, first,
+                (bt, bs, bu, bv), wk.accept_closest)
+            stk, new_cur = descend_phase(stk, bt)
+        return new_cur, stk, it + 1, bt, bs, bu, bv
+
+    t0 = tmax_ref[0, :].reshape(G, L)
+    cur0 = jnp.full((G, 1), base, jnp.int32)
+    if pipelined:
+        start_fetch(cur0)
+    init = (
+        cur0,
+        jnp.full((G, L), end, jnp.int32),
+        jnp.int32(0), t0,
+        jnp.full((G, L), -1, jnp.int32),
+        jnp.zeros((G, L), jnp.float32),
+        jnp.zeros((G, L), jnp.float32),
+    )
+    cur, _, _, bt, bs, bu, bv = jax.lax.while_loop(cond, body, init)
+    if pipelined:
+        # drain the in-flight DMA so the grid step ends clean
+        wait_fetch(cur)
+    t_ref[0, :] = jnp.where(bs >= 0, bt, vec.INF).reshape(G * L)
+    slot_ref[0, :] = bs.reshape(G * L)
+    u_ref[0, :] = bu.reshape(G * L)
+    v_ref[0, :] = bv.reshape(G * L)
+
+
+def pallas_traverse_ordered8_fat(fat, org, dirn, t_max, base: int, end: int,
+                                 leaf_size: int, k: int,
+                                 max_iters: int | None = None,
+                                 interpret: bool | None = None,
+                                 order_mode: str = "near",
+                                 pipelined: bool = True):
+    """Closest-hit over a pack_fat table with ordered-stack traversal.
+    Same contract as hbm_kernel.pallas_traverse_hbm8_fat."""
+    if max_iters is None:
+        max_iters = int(end) - int(base) + 2
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    tile = 1024
+    org = jax.lax.stop_gradient(org)
+    dirn = jax.lax.stop_gradient(dirn)
+    r = org.shape[0]
+    tm = jnp.broadcast_to(
+        jax.lax.stop_gradient(jnp.asarray(t_max, jnp.float32)), (r,)
+    )
+    pad = (-r) % tile
+    if pad:
+        org = jnp.concatenate([org, jnp.zeros((pad, 3), org.dtype)])
+        dirn = jnp.concatenate([dirn, jnp.ones((pad, 3), dirn.dtype)])
+        tm = jnp.concatenate([tm, jnp.full((pad,), -vec.INF, jnp.float32)])
+    rp = r + pad
+    n_tiles = rp // tile
+    org_t = org.T.reshape(3, rp)
+    dir_t = dirn.T.reshape(3, rp)
+    tm2 = tm.reshape(1, rp)
+    kern = functools.partial(
+        _kernel8_ord_fat, base=int(base), end=int(end),
+        leaf_size=int(leaf_size), k=int(k), max_iters=int(max_iters),
+        order_mode=order_mode, pipelined=bool(pipelined),
+    )
+    out_shapes = (
+        jax.ShapeDtypeStruct((1, rp), jnp.float32),
+        jax.ShapeDtypeStruct((1, rp), jnp.int32),
+        jax.ShapeDtypeStruct((1, rp), jnp.float32),
+        jax.ShapeDtypeStruct((1, rp), jnp.float32),
+    )
+    ray_spec = pl.BlockSpec((3, tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    t, slot, u, v = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        out_shape=out_shapes,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            ray_spec, ray_spec, row_spec,
+        ],
+        out_specs=(row_spec, row_spec, row_spec, row_spec),
+        scratch_shapes=[
+            pltpu.VMEM((16, 128), jnp.float32),   # fat pair per group
+            pltpu.VMEM((8, 128), jnp.float32),    # node rows
+            pltpu.VMEM((8, 128), jnp.float32),    # leaf rows
+            pltpu.SemaphoreType.DMA((8,)),
+        ],
+        interpret=interpret,
+    )(fat, org_t, dir_t, tm2)
+    return t[0, :r], slot[0, :r], u[0, :r], v[0, :r]
+
+
 def pallas_occluded_ordered8(rows, leaf, org, dirn, t_cut,
                              base: int, end: int,
                              leaf_size: int, k: int,

@@ -193,5 +193,11 @@ def test_compaction_schedule_gating():
     shallow = IntegratorConfig(max_bounces=2, russian_roulette=True,
                                rr_start_depth=2)
     assert not compaction_schedule(shallow, 1 << 20)  # d1 > max_bounces
+    # no RR: engages with the env-miss/emissive decay schedule (round 5 —
+    # dead lanes cost full width in every fixed-width stage regardless of
+    # what killed them)
+    assert compaction_schedule(IntegratorConfig(max_bounces=8), 1 << 20)
     assert not compaction_schedule(
-        IntegratorConfig(max_bounces=8), 1 << 20)     # no RR
+        IntegratorConfig(max_bounces=1), 1 << 20)     # too shallow
+    assert not compaction_schedule(
+        IntegratorConfig(max_bounces=8, specular_mode="all"), 1 << 20)

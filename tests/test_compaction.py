@@ -141,3 +141,36 @@ def test_trace_compacted_fallback_paths():
     a = trace(scene, cfg, org, dirn, key)
     b = trace_compacted(scene, cfg, org, dirn, key)
     np.testing.assert_allclose(np.asarray(a.radiance), np.asarray(b.radiance))
+
+
+def test_no_rr_compaction_engages_and_matches():
+    """RR-less traces now compact too (env-miss/emissive decay): the
+    static tail must preserve the estimator. With caps >= survivors the
+    reservoir never reweights, so radiance matches the plain trace up to
+    scatter-add ordering."""
+    import jax
+    import jax.numpy as jnp
+
+    from ptsharp_tpu import examples
+    from ptsharp_tpu.integrator import (
+        IntegratorConfig, compaction_schedule, trace, trace_compacted_static,
+    )
+
+    scene, cam, _rc, _ic = examples.build("bunny", width=64, height=64,
+                                          subdivisions=3)
+    cfg = IntegratorConfig(max_bounces=4, russian_roulette=False)
+    r = 4096
+    key = jax.random.PRNGKey(5)
+    xs = jnp.arange(r, dtype=jnp.int32)
+    ju, jv = jax.random.uniform(key, (2, r))
+    org, dirn = cam.cast_rays(xs % 64, (xs // 64) % 64, 64, 64, ju, jv)
+
+    assert compaction_schedule(cfg, 1 << 18), \
+        "no-RR schedule must engage at production widths"
+    # caps >= wavefront survivors: no reservoir reweighting, exact tail
+    big = ((2, r // 2),)
+    a = trace(scene, cfg, org, dirn, key)
+    b = trace_compacted_static(scene, cfg, org, dirn, key, schedule=big)
+    assert jnp.allclose(a.radiance.sum(0), b.radiance.sum(0),
+                        rtol=2e-2, atol=2e-2), (
+        a.radiance.sum(), b.radiance.sum())
