@@ -92,6 +92,14 @@ def run_scene(name, width=1920, height=1080, spp=64, max_measured_chunks=16,
     tracer = trace_compacted_static if compacted else trace
     pix_per_chunk = 1 << shift
 
+    # Closure-capture the scene when its tables are SMALL: XLA constant-
+    # folds closure scenes (cornell measured 74 vs 52 Mrays/s as a traced
+    # arg). Big scenes (dragon_hd fat table ~286 MB) must ride as traced
+    # args or the remote compile request blows up (HTTP 413, round 4).
+    scene_bytes = sum(
+        x.size * x.dtype.itemsize for x in jax.tree.leaves(scene)
+        if hasattr(x, "size"))
+    scene_as_arg = scene_bytes > 48 * 1024 * 1024
     if split_raygen:
         morder = _morton_pixel_order(width, height)
 
@@ -107,17 +115,26 @@ def run_scene(name, width=1920, height=1080, spp=64, max_measured_chunks=16,
             org, dirn = cam.cast_rays(px, py, width, height, ju, jv)
             return org, dirn, kt
 
-        @jax.jit
-        def tr(org, dirn, kt):
-            result = tracer(scene, icfg, org, dirn, kt)
-            return jnp.sum(result.radiance), result.rays_traced
+        if scene_as_arg:
+            @jax.jit
+            def tr(scn, org, dirn, kt):
+                result = tracer(scn, icfg, org, dirn, kt)
+                return jnp.sum(result.radiance), result.rays_traced
 
-        def render_chunk(key, ci):
-            org, dirn, kt = gen(key, jnp.int32(ci))
-            return tr(org, dirn, kt)
+            def render_chunk(key, ci):
+                org, dirn, kt = gen(key, jnp.int32(ci))
+                return tr(scene, org, dirn, kt)
+        else:
+            @jax.jit
+            def tr(org, dirn, kt):
+                result = tracer(scene, icfg, org, dirn, kt)
+                return jnp.sum(result.radiance), result.rays_traced
+
+            def render_chunk(key, ci):
+                org, dirn, kt = gen(key, jnp.int32(ci))
+                return tr(org, dirn, kt)
     else:
-        @jax.jit
-        def render_chunk(key, ci):
+        def _chunk_rays(key, ci):
             kj, kt = jax.random.split(key)
             start = (ci * pix_per_chunk) % (width * height)
             xs = (start + jnp.arange(pix_per_chunk, dtype=jnp.int32)) \
@@ -125,8 +142,23 @@ def run_scene(name, width=1920, height=1080, spp=64, max_measured_chunks=16,
             px, py = xs % width, xs // width
             ju, jv = jax.random.uniform(kj, (2, pix_per_chunk))
             org, dirn = cam.cast_rays(px, py, width, height, ju, jv)
-            result = tracer(scene, icfg, org, dirn, kt)
-            return jnp.sum(result.radiance), result.rays_traced
+            return org, dirn, kt
+
+        if scene_as_arg:
+            @jax.jit
+            def _render_chunk(scn, key, ci):
+                org, dirn, kt = _chunk_rays(key, ci)
+                result = tracer(scn, icfg, org, dirn, kt)
+                return jnp.sum(result.radiance), result.rays_traced
+
+            def render_chunk(key, ci):
+                return _render_chunk(scene, key, ci)
+        else:
+            @jax.jit
+            def render_chunk(key, ci):
+                org, dirn, kt = _chunk_rays(key, ci)
+                result = tracer(scene, icfg, org, dirn, kt)
+                return jnp.sum(result.radiance), result.rays_traced
 
     out = render_chunk(jax.random.PRNGKey(999), 0)
     jax.block_until_ready(out)
@@ -144,19 +176,24 @@ def run_scene(name, width=1920, height=1080, spp=64, max_measured_chunks=16,
     return total_traced / dt / 1e6
 
 
-def run_grad(width=1920, height=1080, chunks=8):
+def run_grad(width=1920, height=1080, chunks=8, mode="tape"):
     """Forward+backward Mrays/s: gradient of the mean image luminance w.r.t.
     the material table (the differentiable train-step shape of
     parallel/shard.py). 1M-ray chunks dispatched without blocking — the
-    same pipelining the fwd-only metric gets. Uses the sync-free compacted
-    trace: Russian-roulette-dead lanes cost DOUBLE in fwd+bwd, so
-    reservoir compaction measured 35.3 vs 26.6 Mrays/s plain
-    (scripts/exp_grad4.py; gradient parity tested in tests/test_diff.py)."""
+    same pipelining the fwd-only metric gets.
+
+    mode="tape": analytic tape backward (tape.py custom_vjp) — the
+    backward replays a ~10-scalar/ray/depth tape pointwise instead of
+    re-running traversal+shading through AD (round-5, VERDICT item 2).
+    mode="ad": AD through the sync-free compacted trace (the round-4
+    path: reservoir compaction measured 35.3 vs 26.6 plain)."""
     from ptsharp_tpu import examples
     from ptsharp_tpu.integrator import trace_compacted_static
+    from ptsharp_tpu.tape import trace_tape_radiance
 
     scene, cam, _rcfg, icfg = examples.build("cornell")
     pix_per_chunk = 1 << 20
+    tracer = trace_tape_radiance if mode == "tape" else trace_compacted_static
 
     from dataclasses import replace
 
@@ -167,7 +204,7 @@ def run_grad(width=1920, height=1080, chunks=8):
         kj, kt = jax.random.split(key)
         ju, jv = jax.random.uniform(kj, (2, r))
         org, dirn = cam.cast_rays(pix_x, pix_y, width, height, ju, jv)
-        result = trace_compacted_static(s, icfg, org, dirn, kt)
+        result = tracer(s, icfg, org, dirn, kt)
         return jnp.mean(result.radiance), result.rays_traced
 
     grad_fn = jax.jit(jax.grad(loss_fn, has_aux=True))
@@ -321,7 +358,8 @@ def main():
         (
             "Mrays_per_s_fwd_bwd_cornell",
             [
-                ("grad/256k", run_grad),
+                ("grad/tape/1M", lambda: run_grad(mode="tape")),
+                ("grad/ad/1M", lambda: run_grad(mode="ad")),
             ],
         ),
         (

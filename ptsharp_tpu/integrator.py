@@ -132,6 +132,37 @@ class TraceResult(NamedTuple):
     rays_traced: jnp.ndarray  # () int32 — parity with Scene.rays counter
 
 
+# tape flag bits (TapeRecord.flags)
+TAPE_MISS_ENV = 1   # lane adds throughput * env this depth
+TAPE_EMIT = 2       # lane adds throughput * color * emittance
+TAPE_NEE = 4        # lane adds (throughput*B) * direct
+TAPE_SPEC = 8       # bounce took the specular branch (B = tint mix)
+TAPE_TEX = 16       # resolved color came from the texture atlas
+TAPE_ALIVE = 32     # lane survives into the next depth
+
+
+class TapeRecord(NamedTuple):
+    """Per-depth analytic-backward replay record (tape.py): everything
+    needed to rebuild this depth's radiance terms and throughput update as
+    a POINTWISE function of the differentiable scene parameters — no
+    traversal, no RNG, no sort in the backward."""
+
+    t_in: jnp.ndarray    # (R, 3) throughput entering the depth
+    mat_id: jnp.ndarray  # (R,) i32 hit material
+    uv: jnp.ndarray      # (R, 2) texture uv at the hit (env uv on miss)
+    lm: jnp.ndarray      # (R,) i32 NEE light material id
+    kappa: jnp.ndarray   # (R,) f32: direct = C[lm] * e[lm] * kappa
+    rr: jnp.ndarray      # (R,) f32 RR survivor scale (1/prob; 1 if off)
+    flags: jnp.ndarray   # (R,) i32 TAPE_* bits
+
+
+def _atlas_nontrivial(scene: SceneData) -> bool:
+    """Static: the texture atlas holds real texels (matches the gate in
+    _resolve_color — a (1,1,1,3) empty atlas never samples)."""
+    return bool(scene.textures.data.shape[1] > 1
+                or scene.textures.data.shape[0] > 1)
+
+
 def _resolve_color(scene: SceneData, mat, info: HitInfo):
     """Per-point textured albedo (Material.MaterialAt, Material.cs:124-138)."""
     color = mat.color
@@ -151,24 +182,30 @@ def _resolve_gloss(scene: SceneData, mat, info: HitInfo):
     return gloss
 
 
+def env_uv(scene: SceneData, dirn):
+    """Lat-long env coordinates for a direction batch (textured env)."""
+    d = dirn
+    u = jnp.arctan2(d[..., 2], d[..., 0]) + scene.texture_angle
+    v = jnp.arctan2(
+        d[..., 1], jnp.sqrt(d[..., 0] ** 2 + d[..., 2] ** 2)
+    )
+    u = (u + jnp.pi) / (2.0 * jnp.pi)
+    v = (v + jnp.pi / 2.0) / jnp.pi
+    return u, v
+
+
 def sample_environment(scene: SceneData, dirn):
     """Panoramic lat-long environment or flat color
     (Sampler.sampleEnvironment, Sampler.cs:177-189)."""
     if scene.env_texture >= 0:
-        d = dirn
-        u = jnp.arctan2(d[..., 2], d[..., 0]) + scene.texture_angle
-        v = jnp.arctan2(
-            d[..., 1], jnp.sqrt(d[..., 0] ** 2 + d[..., 2] ** 2)
-        )
-        u = (u + jnp.pi) / (2.0 * jnp.pi)
-        v = (v + jnp.pi / 2.0) / jnp.pi
-        tid = jnp.full(d.shape[:-1], scene.env_texture, jnp.int32)
+        u, v = env_uv(scene, dirn)
+        tid = jnp.full(dirn.shape[:-1], scene.env_texture, jnp.int32)
         return scene.textures.sample(tid, u, v)
     return jnp.broadcast_to(scene.env_color, dirn.shape)
 
 
 def sample_lights(scene: SceneData, cfg: IntegratorConfig, position, normal,
-                  key, active=None):
+                  key, active=None, want_aux=False):
     """Batched NEE (Sampler.sampleLights/sampleLight, Sampler.cs:191-296).
 
     Returns the direct-light contribution BEFORE albedo weighting (the
@@ -181,10 +218,19 @@ def sample_lights(scene: SceneData, cfg: IntegratorConfig, position, normal,
     active: optional (R,) bool — lanes that are False skip all shadow
     traversal work (their t bound collapses so every box test fails
     instantly); their returned contribution is garbage the caller masks.
+
+    want_aux: additionally return the tape decomposition
+    (lm_mat (R,) i32, kappa (R,) f32) with
+    direct = materials.color[lm] * materials.emittance[lm] * kappa —
+    the analytic-backward replay record (tape.py). Only single-light
+    modes (random/power) decompose this way; "all" returns aux=None.
     """
     n_lights = scene.num_lights
     r = position.shape[0]
     if n_lights == 0 or not cfg.direct_lighting:
+        if want_aux:
+            return (jnp.zeros((r, 3), jnp.float32), jnp.int32(0),
+                    (jnp.zeros(r, jnp.int32), jnp.zeros(r, jnp.float32)))
         return jnp.zeros((r, 3), jnp.float32), jnp.int32(0)
     if active is None:
         active = jnp.ones(r, bool)
@@ -333,24 +379,35 @@ def sample_lights(scene: SceneData, cfg: IntegratorConfig, position, normal,
         lmat = scene.materials.gather(scene.light_mat[lidx])
         scale = lmat.emittance * cos_t * cov
         contrib = lmat.color * scale[:, None]
+        lm = scene.light_mat[lidx]
+        kap = cos_t * cov
         if has_em:
             emat = scene.materials.gather(scene.em_mat[tri])
             d2 = jnp.sum((point - position) ** 2, axis=-1)
             cos_l = jnp.abs(vec.dot(scene.em_nrm[tri], ray_dir))
-            scale_tri = (
-                emat.emittance * cos_t * cos_l * scene.light_area[lidx]
+            kap_tri = (
+                cos_t * cos_l * scene.light_area[lidx]
                 / jnp.maximum(d2, 1e-8)
             )
+            scale_tri = emat.emittance * kap_tri
             contrib = jnp.where(
                 is_tri[:, None], emat.color * scale_tri[:, None], contrib
             )
-        return jnp.where((facing & visible)[:, None], contrib, 0.0)
+            lm = jnp.where(is_tri, scene.em_mat[tri], lm)
+            kap = jnp.where(is_tri, kap_tri, kap)
+        ok = facing & visible
+        aux = (lm.astype(jnp.int32),
+               jax.lax.stop_gradient(jnp.where(ok, kap, 0.0)))
+        return jnp.where(ok[:, None], contrib, 0.0), aux
 
     if cfg.light_mode == LIGHT_MODE_ALL:
         total = jnp.zeros((r, 3), jnp.float32)
         keys = jax.random.split(key, n_lights)
         for li in range(n_lights):
-            total = total + one_light(jnp.full(r, li, jnp.int32), keys[li])
+            c, _aux = one_light(jnp.full(r, li, jnp.int32), keys[li])
+            total = total + c
+        if want_aux:
+            return total / n_lights, jnp.int32(n_lights * r), None
         return total / n_lights, jnp.int32(n_lights * r)
     elif cfg.light_mode == LIGHT_MODE_POWER:
         kpick, ksmp = jax.random.split(key)
@@ -362,12 +419,19 @@ def sample_lights(scene: SceneData, cfg: IntegratorConfig, position, normal,
         lidx = jax.lax.stop_gradient(lidx)
         inv_pdf = 1.0 / jnp.maximum(scene.light_pmf[lidx], 1e-12)
         inv_pdf = jax.lax.stop_gradient(inv_pdf)
-        return one_light(lidx, ksmp) * inv_pdf[:, None], jnp.int32(r)
+        c, (lm, kap) = one_light(lidx, ksmp)
+        if want_aux:
+            return c * inv_pdf[:, None], jnp.int32(r), (lm, kap * inv_pdf)
+        return c * inv_pdf[:, None], jnp.int32(r)
     else:
         kpick, ksmp = jax.random.split(key)
         lidx = jax.random.randint(kpick, (r,), 0, n_lights)
         lidx = jax.lax.stop_gradient(lidx)
-        return one_light(lidx, ksmp) * float(n_lights), jnp.int32(r)
+        c, (lm, kap) = one_light(lidx, ksmp)
+        if want_aux:
+            return (c * float(n_lights), jnp.int32(r),
+                    (lm, kap * float(n_lights)))
+        return c * float(n_lights), jnp.int32(r)
 
 
 def _bounce(scene: SceneData, cfg: IntegratorConfig, state: RayState,
@@ -501,7 +565,7 @@ def _sorted_occlusion(scene: SceneData, org, dirn, t_cut):
 def _step(scene: SceneData, cfg: IntegratorConfig, state, rays, depth_key,
           u1, u2, force_mode, depth_static,
           pre_hit=None, count_primary=True, suppress_shared=False,
-          sort_rays=False):
+          sort_rays=False, want_tape=False):
     """One wavefront bounce. Returns (state, rays, first_albedo,
     first_normal). pre_hit lets a branch split share one primary
     closest-hit between its two branches (Sampler.cs:85-131 re-traces;
@@ -572,10 +636,13 @@ def _step(scene: SceneData, cfg: IntegratorConfig, state, rays, depth_key,
 
     # NEE on the diffuse branch (Sampler.cs:123-127): the contribution
     # is albedo * direct, i.e. post-branch throughput * direct.
+    nee_mask = jnp.zeros_like(alive)
+    nee_aux = None
     if cfg.direct_lighting and scene.num_lights > 0:
         nee_active = alive & ~is_spec
-        direct, srays = sample_lights(
-            scene, cfg, info.position, info.normal, kn, active=nee_active
+        direct, srays, nee_aux = sample_lights(
+            scene, cfg, info.position, info.normal, kn, active=nee_active,
+            want_aux=True,
         )
         nee_mask = nee_active
         radiance = radiance + jnp.where(
@@ -589,6 +656,7 @@ def _step(scene: SceneData, cfg: IntegratorConfig, state, rays, depth_key,
     # version is dead code, Sampler.cs:133-142). depth_static may be a
     # traced scalar inside the depth scan, so the start-depth gate is a
     # where, not a Python branch.
+    rr_scale = jnp.ones_like(u1)
     if cfg.russian_roulette:
         gate = jnp.asarray(depth_static) >= cfg.rr_start_depth
         prob = jnp.clip(
@@ -603,6 +671,7 @@ def _step(scene: SceneData, cfg: IntegratorConfig, state, rays, depth_key,
             survive[:, None], throughput / prob[:, None], throughput
         )
         alive = alive & survive
+        rr_scale = 1.0 / prob
 
     new_state = RayState(
         org=jnp.where(alive[:, None], new_org, state.org),
@@ -614,6 +683,37 @@ def _step(scene: SceneData, cfg: IntegratorConfig, state, rays, depth_key,
     )
     first_albedo = color
     first_normal = info.normal
+    if want_tape:
+        assert force_mode is None and not suppress_shared
+        miss_env = state.alive & missed
+        has_tex = (mat.texture >= 0) & _atlas_nontrivial(scene)
+        uv = jnp.stack([info.tex_u, info.tex_v], axis=-1)
+        if scene.env_texture >= 0:
+            eu, ev = env_uv(scene, state.dirn)
+            uv = jnp.where(miss_env[:, None],
+                           jnp.stack([eu, ev], axis=-1), uv)
+        if nee_aux is not None:
+            lm, kappa = nee_aux
+        else:
+            lm = jnp.zeros_like(info.mat_id)
+            kappa = jnp.zeros_like(u1)
+        flags = (
+            miss_env.astype(jnp.int32) * TAPE_MISS_ENV
+            | emit_add.astype(jnp.int32) * TAPE_EMIT
+            | nee_mask.astype(jnp.int32) * TAPE_NEE
+            | is_spec.astype(jnp.int32) * TAPE_SPEC
+            | has_tex.astype(jnp.int32) * TAPE_TEX
+            | alive.astype(jnp.int32) * TAPE_ALIVE
+        )
+        tape = TapeRecord(
+            t_in=jax.lax.stop_gradient(state.throughput),
+            mat_id=info.mat_id,
+            uv=jax.lax.stop_gradient(uv),
+            lm=lm, kappa=kappa,
+            rr=jax.lax.stop_gradient(rr_scale),
+            flags=flags,
+        )
+        return new_state, rays, first_albedo, first_normal, tape
     return new_state, rays, first_albedo, first_normal
 
 
