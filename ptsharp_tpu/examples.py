@@ -208,7 +208,11 @@ def bunny(width=1920, height=1080, subdivisions: int = 6,
     b.add_plane([0, 0, 0], [0, 1, 0], diffuse_material([0.75, 0.72, 0.68]))
     b.add_sphere([3.5, 6, -3], 1.6, light_material([1, 1, 1], 9.0))
     b.set_environment(color=[0.10, 0.11, 0.14])
-    scene = b.build(leaf_size=8, intersector=intersector, wide_k=wide_k,
+    # leaf 14 measured best for the pallas packet kernels (one 126-slot
+    # MT row; round-5 sweep: bounce 2.30 vs 2.14 at leaf 8); the XLA
+    # walks prefer smaller leaves
+    ls = 14 if intersector == "pallas" else 8
+    scene = b.build(leaf_size=ls, intersector=intersector, wide_k=wide_k,
                     pallas_ordered=pallas_ordered)
     cam = Camera.look_at([0, 1.8, -4.2], [0, 0.9, 0], [0, 1, 0], 38.0)
     return scene, cam, RenderConfig(width=width, height=height, spp=16), \
@@ -268,7 +272,8 @@ def dragon_hd(width=960, height=540, subdivisions: int = 8,
     b.add_plane([0, 0, 0], [0, 1, 0], diffuse_material([0.42, 0.42, 0.45]))
     b.add_sphere([-2.5, 5, -3], 1.4, light_material([1, 1, 1], 10.0))
     b.set_environment(color=[0.15, 0.17, 0.21])
-    scene = b.build(leaf_size=8, intersector=intersector, wide_k=wide_k,
+    ls = 14 if intersector == "pallas" else 8
+    scene = b.build(leaf_size=ls, intersector=intersector, wide_k=wide_k,
                     pallas_ordered=pallas_ordered)
     cam = Camera.look_at([0, 1.6, -3.6], [0, 0.5, 0], [0, 1, 0], 42.0)
     return scene, cam, RenderConfig(width=width, height=height, spp=8), \
