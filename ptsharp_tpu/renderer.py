@@ -14,6 +14,7 @@ pure merges.
 
 from __future__ import annotations
 
+import functools
 import time
 from dataclasses import dataclass, field, replace
 
@@ -192,20 +193,22 @@ class Renderer:
             render_chunk, static_argnames=("rows", "spp"),
         )
 
-        # compaction only helps (and trace_compacted_static only engages)
-        # for RR + naive-specular configs with a non-empty reservoir
-        # schedule. For any other shape, compacted_chunk would silently
-        # replace the fully-jitted render_chunk with an un-jitted trace()
-        # fallback — so the schedule is re-checked per chunk SHAPE (rows
-        # and spp are static per call) and empty-schedule shapes route to
-        # the plain jitted chunk fn.
-        compaction_applies = (
-            icfg.russian_roulette and icfg.specular_mode == "naive"
-        )
+        # compaction engages for naive-specular configs with a non-empty
+        # reservoir schedule (round 5: RR is no longer required — env-miss
+        # and emissive cuts kill lanes too, compaction_schedule docstring).
+        # For any other shape, compacted_chunk would silently replace the
+        # fully-jitted render_chunk with an un-jitted trace() fallback —
+        # so the schedule is re-checked per chunk SHAPE (rows and spp are
+        # static per call) and empty-schedule shapes route to the plain
+        # jitted chunk fn.
+        from ptsharp_tpu.integrator import compaction_schedule
+
+        # "could it ever engage" probe at an unbounded width: empty means
+        # the config can never compact (wrong specular mode, too shallow)
+        # and the plain jitted chunk fn stays installed directly
+        compaction_applies = bool(compaction_schedule(icfg, 1 << 30))
         if cfg.compaction and compaction_applies:
-            from ptsharp_tpu.integrator import (
-                compaction_schedule, trace_compacted_static,
-            )
+            from ptsharp_tpu.integrator import trace_compacted_static
 
             plain_chunk = self._chunk_fn
             raygen_j = jax.jit(raygen, static_argnames=("rows", "spp"))
@@ -349,8 +352,15 @@ class Renderer:
         return film
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
 def _merge_rows(film: Film, row0, chunk: Film) -> Film:
-    """Welford-merge a row-chunk film into the full film at row offset."""
+    """Welford-merge a row-chunk film into the full film at row offset.
+
+    Jitted with the film DONATED: the eager version dispatched 10+
+    separate ops per chunk (each paying the tunnel's ~24 ms dispatch
+    latency) and copied every full-film buffer at each update-slice —
+    measured as the bulk of a 5x renderer-vs-bench throughput gap
+    (round 5). One fused dispatch, in-place buffers."""
     h = chunk.mean.shape[0]
     cur = Film(
         mean=jax.lax.dynamic_slice_in_dim(film.mean, row0, h, 0),

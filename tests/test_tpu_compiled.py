@@ -169,6 +169,76 @@ def test_compiled_hbm_fat_matches_vmem_kernel_bunny_scale():
     np.testing.assert_allclose(np.asarray(t2), np.asarray(t1), rtol=1e-6)
 
 
+def test_compiled_ordered8_matches_wide8_bunny_scale():
+    """Compiled ordered-stack kernel (the round-5 production closest-hit
+    for VMEM tables) vs the preorder skip-walk at bunny scale."""
+    import jax.numpy as jnp
+
+    from ptsharp_tpu.core import vec
+    from ptsharp_tpu.examples import _bunny_mesh
+    from ptsharp_tpu.materials import diffuse_material
+    from ptsharp_tpu.pallas import ordered_kernel as ok
+    from ptsharp_tpu.pallas import wide_kernel as wk
+    from ptsharp_tpu.scene import SceneBuilder
+
+    b = SceneBuilder()
+    b.add_mesh(_bunny_mesh(6), diffuse_material([0.5, 0.5, 0.5]))
+    sp = b.build(leaf_size=8, intersector="pallas", wide_k=8)
+    assert not sp.p_hbm
+    org, d = _rays(4096, seed=11)
+    t1, s1, _u1, _v1 = wk.pallas_traverse_wide8(
+        sp.p_rows, sp.p_leaf, org, d, vec.INF,
+        sp.p_inst_base[0], sp.p_inst_end[0], sp.max_leaf, sp.wide_k,
+        interpret=False)
+    for mode in ("near", "full"):
+        t2, s2, _u2, _v2 = ok.pallas_traverse_ordered8(
+            sp.p_rows, sp.p_leaf, org, d, vec.INF,
+            sp.p_inst_base[0], sp.p_inst_end[0], sp.max_leaf, sp.wide_k,
+            interpret=False, order_mode=mode)
+        assert (np.asarray(t1) < 1e8).mean() > 0.1
+        np.testing.assert_allclose(np.asarray(t2), np.asarray(t1),
+                                   rtol=1e-6)
+        hit = np.asarray(t1) < 1e8
+        np.testing.assert_array_equal(np.asarray(s2)[hit],
+                                      np.asarray(s1)[hit])
+
+
+def test_compiled_ordered_fat_pipelined_beyond_vmem_budget():
+    """HBM-REGIME compiled parity (VERDICT r4 item 8): tables provably
+    exceed VMEM_TABLE_BUDGET, so the streaming path's whole reason to
+    exist — the scale regime — is what runs on-chip here. Compares the
+    round-5 production ordered+pipelined-DMA fat kernel against the
+    preorder fat kernel on a 327k-tri mesh (~61 MB of tables)."""
+    import jax.numpy as jnp
+
+    from ptsharp_tpu.core import vec
+    from ptsharp_tpu.examples import _bunny_mesh
+    from ptsharp_tpu.materials import diffuse_material
+    from ptsharp_tpu.pallas import hbm_kernel as hk
+    from ptsharp_tpu.pallas import ordered_kernel as ok
+    from ptsharp_tpu.pallas.wide_kernel import VMEM_TABLE_BUDGET
+    from ptsharp_tpu.scene import SceneBuilder
+
+    b = SceneBuilder()
+    b.add_mesh(_bunny_mesh(7), diffuse_material([0.5, 0.5, 0.5]))
+    sp = b.build(leaf_size=14, intersector="pallas", wide_k=8)
+    assert sp.p_hbm, "scene must be in the HBM streaming regime"
+    assert sp.p_rows.size * 4 > 2 * VMEM_TABLE_BUDGET
+    org, d = _rays(4096, seed=12)
+    t1, s1, _u1, _v1 = hk.pallas_traverse_hbm8_fat(
+        sp.p_rows, org, d, vec.INF,
+        sp.p_inst_base[0], sp.p_inst_end[0], sp.max_leaf, sp.wide_k,
+        interpret=False)
+    t2, s2, _u2, _v2 = ok.pallas_traverse_ordered8_fat(
+        sp.p_rows, org, d, vec.INF,
+        sp.p_inst_base[0], sp.p_inst_end[0], sp.max_leaf, sp.wide_k,
+        interpret=False, order_mode="near", pipelined=True)
+    assert (np.asarray(t1) < 1e8).mean() > 0.1
+    np.testing.assert_allclose(np.asarray(t2), np.asarray(t1), rtol=1e-6)
+    hit = np.asarray(t1) < 1e8
+    np.testing.assert_array_equal(np.asarray(s2)[hit], np.asarray(s1)[hit])
+
+
 def test_compiled_hbm_fat_anyhit_bunny_scale():
     """Compiled fat-row any-hit vs fat closest-hit boolean at bunny scale."""
     import jax.numpy as jnp
