@@ -628,6 +628,163 @@ def pallas_traverse_hbm8_fat(fat, org, dirn, t_max, base: int, end: int,
     return t[0, :r], slot[0, :r], u[0, :r], v[0, :r]
 
 
+CBLK = 32  # fat-row PAIRS per cache block (32 KB DMA per miss)
+
+
+def _kernel8_hbm_fat_cache(fat_ref, org_ref, dir_ref, tmax_ref,
+                           t_ref, slot_ref, u_ref, v_ref,
+                           cache, nscr, lscr, tag_s, nsem,
+                           *, base, end, leaf_size, k, max_iters):
+    """Fat-row kernel with a per-group BLOCK cache: ONE fat-block DMA
+    (2*CBLK rows) per cache miss, SMEM tags, still exactly one DMA
+    cluster per loop body — the rung the round-4 bisection left open (it
+    condemned two CLUSTERS per body, not one bigger copy). Preorder
+    traversal (cur+1 adjacency gives coherent walks high hit rates)."""
+    G, L = 8, 128
+    o3 = tuple(org_ref[a, :].reshape(G, L) for a in range(3))
+    d3 = tuple(dir_ref[a, :].reshape(G, L) for a in range(3))
+    i3 = tuple(wk.packet_safe_inv(d) for d in d3)
+    for g in range(G):
+        tag_s[g] = -1
+
+    def cond(s):
+        cur, it, bt, bs, bu, bv = s
+        return jnp.logical_and(jnp.any(cur < end), it < max_iters)
+
+    def body(s):
+        cur, it, bt, bs, bu, bv = s
+        active = cur < end
+        j = jnp.minimum(cur, end - 1)
+        jg = [j[g, 0] for g in range(G)]
+        bg = [jg[g] // CBLK for g in range(G)]
+        # ONE DMA cluster: start every needed block copy, then wait
+        for g in range(G):
+            @pl.when(bg[g] != tag_s[g])
+            def _(g=g, b=bg[g]):
+                pltpu.make_async_copy(
+                    fat_ref.at[pl.ds(2 * b * CBLK, 2 * CBLK)],
+                    cache.at[pl.ds(g * 2 * CBLK, 2 * CBLK)],
+                    nsem.at[g]).start()
+        for g in range(G):
+            @pl.when(bg[g] != tag_s[g])
+            def _(g=g, b=bg[g]):
+                pltpu.make_async_copy(
+                    fat_ref.at[pl.ds(2 * b * CBLK, 2 * CBLK)],
+                    cache.at[pl.ds(g * 2 * CBLK, 2 * CBLK)],
+                    nsem.at[g]).wait()
+        for g in range(G):
+            tag_s[g] = bg[g]
+        for g in range(G):
+            off = g * 2 * CBLK + 2 * (jg[g] % CBLK)
+            nscr[g, :] = cache[off]
+            lscr[g, :] = cache[off + 1]
+        nrow = nscr[:]
+        bits = jax.lax.bitcast_convert_type(nrow, jnp.int32)
+        first = bits[:, 6:7]
+        cnt = bits[:, 7:8] & 0xFF
+        skip = bits[:, 8:9]
+        is_leaf = cnt > 0
+
+        tmin, tmax = wk.packet_slab(nrow, 0, 3, o3, i3)
+        box_hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < bt) & active
+        leaf_ok = box_hit & is_leaf
+
+        bt, bs, bu, bv = wk.packet_mt(
+            lscr[:], leaf_size, leaf_ok, o3, d3, first,
+            (bt, bs, bu, bv), wk.accept_closest)
+
+        target = wk.packet_descend(nrow, bits, k, o3, i3, bt)
+        descend = box_hit & jnp.logical_not(is_leaf)
+        ray_next = jnp.where(descend & (target < BIG), target,
+                             jnp.broadcast_to(skip, (G, L)))
+        nxt = jnp.min(ray_next, axis=1, keepdims=True)
+        cur = jnp.where(active, nxt, cur)
+        return cur, it + 1, bt, bs, bu, bv
+
+    t0 = tmax_ref[0, :].reshape(G, L)
+    init = (
+        jnp.full((G, 1), base, jnp.int32), jnp.int32(0), t0,
+        jnp.full((G, L), -1, jnp.int32),
+        jnp.zeros((G, L), jnp.float32),
+        jnp.zeros((G, L), jnp.float32),
+    )
+    _, _, bt, bs, bu, bv = jax.lax.while_loop(cond, body, init)
+    t_ref[0, :] = jnp.where(bs >= 0, bt, vec.INF).reshape(G * L)
+    slot_ref[0, :] = bs.reshape(G * L)
+    u_ref[0, :] = bu.reshape(G * L)
+    v_ref[0, :] = bv.reshape(G * L)
+
+
+def pallas_traverse_hbm8_fat_cache(fat, org, dirn, t_max,
+                                   base: int, end: int,
+                                   leaf_size: int, k: int,
+                                   max_iters: int | None = None,
+                                   interpret: bool | None = None):
+    """Closest-hit over a pack_fat table through the per-group block
+    cache (see _kernel8_hbm_fat_cache). Same contract as
+    pallas_traverse_hbm8_fat."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if max_iters is None:
+        max_iters = int(end) - int(base)
+    tile = 1024
+    org = jax.lax.stop_gradient(org)
+    dirn = jax.lax.stop_gradient(dirn)
+    r = org.shape[0]
+    tm = jnp.broadcast_to(
+        jax.lax.stop_gradient(jnp.asarray(t_max, jnp.float32)), (r,)
+    )
+    pad = (-r) % tile
+    if pad:
+        org = jnp.concatenate([org, jnp.zeros((pad, 3), org.dtype)])
+        dirn = jnp.concatenate([dirn, jnp.ones((pad, 3), dirn.dtype)])
+        tm = jnp.concatenate([tm, jnp.full((pad,), -vec.INF, jnp.float32)])
+    rp = r + pad
+    n_tiles = rp // tile
+    org_t = org.T.reshape(3, rp)
+    dir_t = dirn.T.reshape(3, rp)
+    tm2 = tm.reshape(1, rp)
+    # pad the fat table to a CBLK multiple so block DMAs never run off
+    nfat = fat.shape[0]
+    padrows = (-nfat) % (2 * CBLK)
+    if padrows:
+        fat = jnp.concatenate(
+            [fat, jnp.zeros((padrows, 128), fat.dtype)])
+    kern = functools.partial(
+        _kernel8_hbm_fat_cache, base=int(base), end=int(end),
+        leaf_size=int(leaf_size), k=int(k), max_iters=int(max_iters),
+    )
+    out_shapes = (
+        jax.ShapeDtypeStruct((1, rp), jnp.float32),
+        jax.ShapeDtypeStruct((1, rp), jnp.int32),
+        jax.ShapeDtypeStruct((1, rp), jnp.float32),
+        jax.ShapeDtypeStruct((1, rp), jnp.float32),
+    )
+    ray_spec = pl.BlockSpec((3, tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    t, slot, u, v = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        out_shape=out_shapes,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            ray_spec, ray_spec, row_spec,
+        ],
+        out_specs=(row_spec, row_spec, row_spec, row_spec),
+        scratch_shapes=[
+            pltpu.VMEM((8 * 2 * CBLK, 128), jnp.float32),  # block cache
+            pltpu.VMEM((8, 128), jnp.float32),
+            pltpu.VMEM((8, 128), jnp.float32),
+            pltpu.SMEM((8,), jnp.int32),
+            pltpu.SemaphoreType.DMA((8,)),
+        ],
+        interpret=interpret,
+    )(fat, org_t, dir_t, tm2)
+    return t[0, :r], slot[0, :r], u[0, :r], v[0, :r]
+
+
 def _kernel8_hbm_fat_any(fat_ref, org_ref, dir_ref, tcut_ref,
                          occ_ref, fscr, nscr, lscr, nsem,
                          *, base, end, leaf_size, k, max_iters):

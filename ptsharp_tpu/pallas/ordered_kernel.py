@@ -83,7 +83,7 @@ def max_stack_bound(rows: np.ndarray, k: int, base: int = 0,
 
 def _kernel8_ord(rows_ref, leaf_ref, org_ref, dir_ref, tmax_ref,
                  *refs, base, end, leaf_size, k, max_iters, order_mode,
-                 with_iters):
+                 with_iters, defer_leaf=False):
     if with_iters:
         t_ref, slot_ref, u_ref, v_ref, it_ref, nscr, lscr = refs
     else:
@@ -96,12 +96,25 @@ def _kernel8_ord(rows_ref, leaf_ref, org_ref, dir_ref, tmax_ref,
     lane = jax.lax.broadcasted_iota(jnp.int32, (G, L), 1)
     sentinel = jnp.int32(end)
 
+    def flush_pending(prow, pfirst, pmask, args):
+        """One MT pass over every group's pending leaf (defer_leaf mode)."""
+        for g in range(G):
+            lj = jnp.maximum(prow[g, 0], 0)
+            lscr[g, :] = leaf_ref[jnp.minimum(lj, leaf_ref.shape[0] - 1)]
+        mask = (pmask != 0) & (prow >= 0)
+        return wk.packet_mt(lscr[:], leaf_size, mask, o3, d3, pfirst,
+                            args, wk.accept_closest)
+
     def cond(s):
-        cur, stk, it, bt, bs, bu, bv = s
+        cur = s[0]
+        it = s[2]
         return jnp.logical_and(jnp.any(cur < end), it < max_iters)
 
     def body(s):
-        cur, stk, it, bt, bs, bu, bv = s   # cur (G,1) i32, stk (G,L) i32
+        if defer_leaf:
+            cur, stk, it, bt, bs, bu, bv, prow, pfirst, pmask = s
+        else:
+            cur, stk, it, bt, bs, bu, bv = s   # cur (G,1) i32, stk (G,L)
         active = cur < end
         for g in range(G):
             j = jnp.minimum(cur[g, 0], end - 1)
@@ -116,18 +129,43 @@ def _kernel8_ord(rows_ref, leaf_ref, org_ref, dir_ref, tmax_ref,
         box_hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < bt) & active
 
         leaf_ok = box_hit & is_leaf
-        any_leaf = jnp.any(leaf_ok)
 
-        def do_leaf(args):
-            for g in range(G):
-                lj = jnp.where((bits[g, 7] & 0xFF) > 0,
-                               bits[g, 6] // leaf_size, 0)
-                lscr[g, :] = leaf_ref[jnp.minimum(lj, leaf_ref.shape[0] - 1)]
-            return wk.packet_mt(lscr[:], leaf_size, leaf_ok, o3, d3, first,
-                                args, wk.accept_closest)
+        if defer_leaf:
+            # batch leaves: flush only when a group that already HOLDS a
+            # pending leaf reaches another one. With 8 independent groups
+            # an any-group-at-leaf cond fires ~every iteration; batching
+            # cuts MT passes ~Gx at the cost of later best-t shrink
+            # (visits only grow — results identical, best-t semantics
+            # are order-independent).
+            at_leaf = jnp.any(leaf_ok, axis=1, keepdims=True)  # (G,1)
+            need_flush = jnp.any(at_leaf & (prow >= 0))
 
-        bt, bs, bu, bv = jax.lax.cond(any_leaf, do_leaf, lambda a: a,
-                                      (bt, bs, bu, bv))
+            def do_flush(args):
+                return flush_pending(prow, pfirst, pmask, args)
+
+            bt, bs, bu, bv = jax.lax.cond(
+                need_flush, do_flush, lambda a: a, (bt, bs, bu, bv))
+            prow_aft = jnp.where(need_flush, -1, prow)
+            pmask_aft = jnp.where(need_flush, 0, pmask)
+            lrow = jnp.where(is_leaf, first // leaf_size, 0)
+            prow = jnp.where(at_leaf, lrow, prow_aft)
+            pfirst = jnp.where(at_leaf, first, pfirst)
+            pmask = jnp.where(jnp.broadcast_to(at_leaf, (G, L)),
+                              leaf_ok.astype(jnp.int32), pmask_aft)
+        else:
+            any_leaf = jnp.any(leaf_ok)
+
+            def do_leaf(args):
+                for g in range(G):
+                    lj = jnp.where((bits[g, 7] & 0xFF) > 0,
+                                   bits[g, 6] // leaf_size, 0)
+                    lscr[g, :] = leaf_ref[
+                        jnp.minimum(lj, leaf_ref.shape[0] - 1)]
+                return wk.packet_mt(lscr[:], leaf_size, leaf_ok, o3, d3,
+                                    first, args, wk.accept_closest)
+
+            bt, bs, bu, bv = jax.lax.cond(any_leaf, do_leaf, lambda a: a,
+                                          (bt, bs, bu, bv))
 
         # --- per-child group keys: min over lanes of masked entry dist ----
         vote = box_hit & jnp.logical_not(is_leaf)   # lanes that may descend
@@ -191,6 +229,8 @@ def _kernel8_ord(rows_ref, leaf_ref, org_ref, dir_ref, tmax_ref,
         popped = jnp.where(lane == L - 1, sentinel, pltpu.roll(stk, L - 1, 1))
         stk = jnp.where(active & jnp.logical_not(nxt_ok), popped, stk)
         cur = jnp.where(active, jnp.where(nxt_ok, bnearv, top), cur)
+        if defer_leaf:
+            return (cur, stk, it + 1, bt, bs, bu, bv, prow, pfirst, pmask)
         return cur, stk, it + 1, bt, bs, bu, bv
 
     t0 = tmax_ref[0, :].reshape(G, L)
@@ -202,7 +242,21 @@ def _kernel8_ord(rows_ref, leaf_ref, org_ref, dir_ref, tmax_ref,
         jnp.zeros((G, L), jnp.float32),
         jnp.zeros((G, L), jnp.float32),
     )
-    _, _, it, bt, bs, bu, bv = jax.lax.while_loop(cond, body, init)
+    if defer_leaf:
+        init = init + (
+            jnp.full((G, 1), -1, jnp.int32),   # pending leaf row
+            jnp.zeros((G, 1), jnp.int32),      # pending first slot
+            jnp.zeros((G, L), jnp.int32),      # pending lane mask
+        )
+        out = jax.lax.while_loop(cond, body, init)
+        _, _, it, bt, bs, bu, bv, prow, pfirst, pmask = out
+        # drain the last pending leaves
+        bt, bs, bu, bv = jax.lax.cond(
+            jnp.any(prow >= 0),
+            lambda a: flush_pending(prow, pfirst, pmask, a),
+            lambda a: a, (bt, bs, bu, bv))
+    else:
+        _, _, it, bt, bs, bu, bv = jax.lax.while_loop(cond, body, init)
     t_ref[0, :] = jnp.where(bs >= 0, bt, vec.INF).reshape(G * L)
     slot_ref[0, :] = bs.reshape(G * L)
     u_ref[0, :] = bu.reshape(G * L)
@@ -616,12 +670,15 @@ def pallas_traverse_ordered8(rows, leaf, org, dirn, t_max,
                              max_iters: int | None = None,
                              interpret: bool | None = None,
                              order_mode: str = "full",
-                             return_iters: bool = False):
+                             return_iters: bool = False,
+                             defer_leaf: bool = False):
     """Closest-hit over [base, end) wide rows with near-to-far ordered
     stack traversal. Same contract (tables, results, slot space) as
     pallas_traverse_wide8. order_mode: "full" = selection-sorted push
     order, "near" = nearest-first + static-order push (cheaper per
-    iteration, weaker ordering)."""
+    iteration, weaker ordering). defer_leaf batches pending leaves
+    across groups so the MT unroll fires per collision instead of per
+    any-group-at-leaf iteration (identical results)."""
     if max_iters is None:
         max_iters = int(end) - int(base) + 2
     if interpret is None:
@@ -648,6 +705,7 @@ def pallas_traverse_ordered8(rows, leaf, org, dirn, t_max,
         _kernel8_ord, base=int(base), end=int(end),
         leaf_size=int(leaf_size), k=int(k), max_iters=int(max_iters),
         order_mode=order_mode, with_iters=bool(return_iters),
+        defer_leaf=bool(defer_leaf),
     )
     out_shapes = [
         jax.ShapeDtypeStruct((1, rp), jnp.float32),
