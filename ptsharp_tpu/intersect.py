@@ -647,7 +647,18 @@ def occlusion_query(scene: SceneData, org, dirn, t_cut) -> jnp.ndarray:
         if n_inst > 0 and scene.tri_v0.shape[0] > 0 \
                 and scene.intersector == "pallas" and scene.p_flat:
             # flat tables: one world-space any-hit/bounded launch
-            if scene.p_hbm:
+            if scene.p_hbm and scene.p_ordered:
+                # pipelined-DMA any-hit: +29% on dragon shadow rays
+                # (the next fetch hides behind the MT unroll)
+                from ptsharp_tpu.pallas import ordered_kernel as okk
+
+                occ_i = okk.pallas_occluded_fat_pipe(
+                    scene.p_rows, org, dirn, cut(),
+                    scene.p_inst_base[0], scene.p_inst_end[0],
+                    scene.max_leaf, scene.wide_k,
+                )
+                occ = occ | occ_i
+            elif scene.p_hbm:
                 from ptsharp_tpu.pallas import hbm_kernel as hk
 
                 occ_i = hk.pallas_occluded_hbm8_fat(
@@ -675,6 +686,15 @@ def occlusion_query(scene: SceneData, org, dirn, t_cut) -> jnp.ndarray:
 
                     occ_i = wk.pallas_occluded_wide8(
                         scene.p_rows, scene.p_leaf, o, d, cut(),
+                        scene.p_inst_base[i], scene.p_inst_end[i],
+                        scene.max_leaf, scene.wide_k,
+                    )
+                    occ = occ | occ_i
+                elif scene.intersector == "pallas" and scene.p_ordered:
+                    from ptsharp_tpu.pallas import ordered_kernel as okk
+
+                    occ_i = okk.pallas_occluded_fat_pipe(
+                        scene.p_rows, o, d, cut(),
                         scene.p_inst_base[i], scene.p_inst_end[i],
                         scene.max_leaf, scene.wide_k,
                     )

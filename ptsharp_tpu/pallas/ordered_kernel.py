@@ -605,6 +605,144 @@ def pallas_traverse_ordered8_fat(fat, org, dirn, t_max, base: int, end: int,
     return t[0, :r], slot[0, :r], u[0, :r], v[0, :r]
 
 
+def _kernel8_fat_any_pipe(fat_ref, org_ref, dir_ref, tcut_ref,
+                          occ_ref, fscr, nscr, lscr, nsem,
+                          *, base, end, leaf_size, k, max_iters):
+    """Any-hit fat-row kernel with software-pipelined DMA: the next
+    iteration's one-cluster fetch starts before the MT unroll (descent
+    and the packet-wide early exit use the PRE-leaf occlusion state —
+    stale by one update, so exits lag one iteration; results identical).
+    Preorder skip-walk traversal (any-hit gains nothing from ordering —
+    measured tie on VMEM tables — but everything from latency hiding at
+    HBM scale)."""
+    G, L = 8, 128
+    o3 = tuple(org_ref[a, :].reshape(G, L) for a in range(3))
+    d3 = tuple(dir_ref[a, :].reshape(G, L) for a in range(3))
+    i3 = tuple(wk.packet_safe_inv(d) for d in d3)
+    t0 = tcut_ref[0, :].reshape(G, L)
+    inact = (t0 <= 0.0).astype(jnp.int32)
+
+    def start_fetch(cur):
+        j = jnp.minimum(cur, end - 1)
+        for g in range(G):
+            pltpu.make_async_copy(
+                fat_ref.at[pl.ds(2 * j[g, 0], 2)],
+                fscr.at[pl.ds(2 * g, 2)], nsem.at[g]).start()
+
+    def wait_fetch(cur):
+        j = jnp.minimum(cur, end - 1)
+        for g in range(G):
+            pltpu.make_async_copy(
+                fat_ref.at[pl.ds(2 * j[g, 0], 2)],
+                fscr.at[pl.ds(2 * g, 2)], nsem.at[g]).wait()
+
+    def cond(s):
+        cur, it, occ = s
+        return jnp.logical_and(jnp.any(cur < end), it < max_iters)
+
+    def body(s):
+        cur, it, occ = s
+        active = cur < end
+        occ_b = occ != 0
+        bt = jnp.where(occ_b, -vec.INF, t0)
+        wait_fetch(cur)
+        for g in range(G):
+            nscr[g, :] = fscr[2 * g]
+            lscr[g, :] = fscr[2 * g + 1]
+        nrow = nscr[:]
+        bits = jax.lax.bitcast_convert_type(nrow, jnp.int32)
+        first = bits[:, 6:7]
+        cnt = bits[:, 7:8] & 0xFF
+        skip = bits[:, 8:9]
+        is_leaf = cnt > 0
+
+        tmin, tmax = wk.packet_slab(nrow, 0, 3, o3, i3)
+        box_hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < bt) & active
+        leaf_ok = box_hit & is_leaf
+
+        # descend + early-exit with the PRE-leaf occlusion state, then
+        # start the next fetch and run the MT unroll in its shadow
+        target = wk.packet_descend(nrow, bits, k, o3, i3, bt)
+        descend = box_hit & jnp.logical_not(is_leaf) & jnp.logical_not(occ_b)
+        ray_next = jnp.where(descend & (target < BIG), target,
+                             jnp.broadcast_to(skip, (G, L)))
+        nxt = jnp.min(ray_next, axis=1, keepdims=True)
+        all_done = jnp.min(jnp.maximum(occ, inact), axis=1,
+                           keepdims=True) > 0
+        nxt = jnp.where(all_done, end, nxt)
+        new_cur = jnp.where(active, nxt, cur)
+        start_fetch(new_cur)
+
+        def accept_any(occ_in, ok, tt, _slot, _uu, _vv):
+            return jnp.maximum(occ_in, (ok & (tt < bt)).astype(jnp.int32))
+
+        occ = wk.packet_mt(lscr[:], leaf_size, leaf_ok, o3, d3, first,
+                           occ, accept_any)
+        return new_cur, it + 1, occ
+
+    cur0 = jnp.full((G, 1), base, jnp.int32)
+    start_fetch(cur0)
+    init = (cur0, jnp.int32(0), jnp.zeros((G, L), jnp.int32))
+    cur, _, occ = jax.lax.while_loop(cond, body, init)
+    wait_fetch(cur)  # drain the in-flight DMA
+    occ_ref[0, :] = occ.reshape(G * L)
+
+
+def pallas_occluded_fat_pipe(fat, org, dirn, t_cut, base: int, end: int,
+                             leaf_size: int, k: int,
+                             max_iters: int | None = None,
+                             interpret: bool | None = None):
+    """Any-hit query over a pack_fat table with pipelined DMA. Same
+    contract as hbm_kernel.pallas_occluded_hbm8_fat."""
+    if max_iters is None:
+        max_iters = int(end) - int(base) + 2
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    tile = 1024
+    org = jax.lax.stop_gradient(org)
+    dirn = jax.lax.stop_gradient(dirn)
+    r = org.shape[0]
+    tc = jnp.broadcast_to(
+        jax.lax.stop_gradient(jnp.asarray(t_cut, jnp.float32)), (r,)
+    )
+    pad = (-r) % tile
+    if pad:
+        org = jnp.concatenate([org, jnp.zeros((pad, 3), org.dtype)])
+        dirn = jnp.concatenate([dirn, jnp.ones((pad, 3), dirn.dtype)])
+        tc = jnp.concatenate([tc, jnp.full((pad,), -vec.INF, jnp.float32)])
+    rp = r + pad
+    n_tiles = rp // tile
+    org_t = org.T.reshape(3, rp)
+    dir_t = dirn.T.reshape(3, rp)
+    tc2 = tc.reshape(1, rp)
+    kern = functools.partial(
+        _kernel8_fat_any_pipe, base=int(base), end=int(end),
+        leaf_size=int(leaf_size), k=int(k), max_iters=int(max_iters),
+    )
+    ray_spec = pl.BlockSpec((3, tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    occ = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        out_shape=jax.ShapeDtypeStruct((1, rp), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            ray_spec, ray_spec, row_spec,
+        ],
+        out_specs=row_spec,
+        scratch_shapes=[
+            pltpu.VMEM((16, 128), jnp.float32),
+            pltpu.VMEM((8, 128), jnp.float32),
+            pltpu.VMEM((8, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((8,)),
+        ],
+        interpret=interpret,
+    )(fat, org_t, dir_t, tc2)
+    return occ[0, :r] != 0
+
+
 def pallas_occluded_ordered8(rows, leaf, org, dirn, t_cut,
                              base: int, end: int,
                              leaf_size: int, k: int,
