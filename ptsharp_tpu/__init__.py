@@ -42,6 +42,7 @@ from ptsharp_tpu.film import Film
 from ptsharp_tpu.scene import SceneBuilder, SceneData
 from ptsharp_tpu.integrator import IntegratorConfig
 from ptsharp_tpu.renderer import Renderer, RenderConfig
+from ptsharp_tpu.tape import trace_tape_radiance
 
 __all__ = [
     "__version__",
@@ -64,4 +65,5 @@ __all__ = [
     "IntegratorConfig",
     "Renderer",
     "RenderConfig",
+    "trace_tape_radiance",
 ]
