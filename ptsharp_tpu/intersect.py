@@ -431,14 +431,17 @@ def closest_hit(scene: SceneData, org, dirn, t_max=None) -> Hit:
             and scene.p_flat:
         if scene.p_hbm and scene.p_ordered:
             # ordered-stack + pipelined-DMA fat kernel: +59% on sorted
-            # bounce rays, ties coherent primaries (exp_ordfat.py)
+            # bounce rays, ties coherent primaries (exp_ordfat.py).
+            # mt_gate skips the MT unroll on no-group-at-leaf iterations
+            # (+6% both shapes, exp_ordfat.py round-5; same gating the
+            # VMEM ordered kernel always had)
             from ptsharp_tpu.pallas import ordered_kernel as okk
 
             t, kslot, u, v = okk.pallas_traverse_ordered8_fat(
                 scene.p_rows, org, dirn, best_t,
                 scene.p_inst_base[0], scene.p_inst_end[0],
                 scene.max_leaf, scene.wide_k,
-                order_mode="near", pipelined=True,
+                order_mode="near", pipelined=True, mt_gate=True,
             )
         elif scene.p_hbm:
             from ptsharp_tpu.pallas import hbm_kernel as hk
@@ -504,7 +507,7 @@ def closest_hit(scene: SceneData, org, dirn, t_max=None) -> Hit:
                         scene.p_rows, o, d, best_t,
                         scene.p_inst_base[i], scene.p_inst_end[i],
                         scene.max_leaf, scene.wide_k,
-                        order_mode="near", pipelined=True,
+                        order_mode="near", pipelined=True, mt_gate=True,
                     )
                 elif scene.p_hbm:
                     # larger-than-VMEM tables: fat-row HBM streaming

@@ -390,7 +390,7 @@ def _kernel8_ord_any(rows_ref, leaf_ref, org_ref, dir_ref, tcut_ref,
 def _kernel8_ord_fat(fat_ref, org_ref, dir_ref, tmax_ref,
                      t_ref, slot_ref, u_ref, v_ref, fscr, nscr, lscr, nsem,
                      *, base, end, leaf_size, k, max_iters, order_mode,
-                     pipelined):
+                     pipelined, mt_gate=False):
     """Ordered-stack traversal over a pack_fat HBM table: one (2, 128)
     DMA per group per iteration (the proven single-cluster discipline,
     hbm_kernel module docstring) delivering node row + leaf block.
@@ -509,9 +509,22 @@ def _kernel8_ord_fat(fat_ref, org_ref, dir_ref, tmax_ref,
             # the leaf unroll in the fetch shadow
             stk, new_cur = descend_phase(stk, bt)
             start_fetch(new_cur)
-            bt, bs, bu, bv = wk.packet_mt(
-                lscr[:], leaf_size, leaf_ok, o3, d3, first,
-                (bt, bs, bu, bv), wk.accept_closest)
+            if mt_gate:
+                # skip the whole MT unroll (the dominant per-iteration
+                # cost) on iterations where NO group sits at a leaf —
+                # one scalar branch, none of defer-leaf's pend state
+                lrow = lscr[:]
+                bt, bs, bu, bv = jax.lax.cond(
+                    jnp.any(leaf_ok),
+                    lambda args: wk.packet_mt(
+                        lrow, leaf_size, leaf_ok, o3, d3, first,
+                        args, wk.accept_closest),
+                    lambda args: args,
+                    (bt, bs, bu, bv))
+            else:
+                bt, bs, bu, bv = wk.packet_mt(
+                    lscr[:], leaf_size, leaf_ok, o3, d3, first,
+                    (bt, bs, bu, bv), wk.accept_closest)
         else:
             bt, bs, bu, bv = wk.packet_mt(
                 lscr[:], leaf_size, leaf_ok, o3, d3, first,
@@ -546,9 +559,11 @@ def pallas_traverse_ordered8_fat(fat, org, dirn, t_max, base: int, end: int,
                                  max_iters: int | None = None,
                                  interpret: bool | None = None,
                                  order_mode: str = "near",
-                                 pipelined: bool = True):
+                                 pipelined: bool = True,
+                                 mt_gate: bool = False):
     """Closest-hit over a pack_fat table with ordered-stack traversal.
-    Same contract as hbm_kernel.pallas_traverse_hbm8_fat."""
+    Same contract as hbm_kernel.pallas_traverse_hbm8_fat. mt_gate skips
+    the MT unroll on no-group-at-leaf iterations (pipelined mode only)."""
     if max_iters is None:
         max_iters = int(end) - int(base) + 2
     if interpret is None:
@@ -574,6 +589,7 @@ def pallas_traverse_ordered8_fat(fat, org, dirn, t_max, base: int, end: int,
         _kernel8_ord_fat, base=int(base), end=int(end),
         leaf_size=int(leaf_size), k=int(k), max_iters=int(max_iters),
         order_mode=order_mode, pipelined=bool(pipelined),
+        mt_gate=bool(mt_gate),
     )
     out_shapes = (
         jax.ShapeDtypeStruct((1, rp), jnp.float32),
@@ -607,7 +623,8 @@ def pallas_traverse_ordered8_fat(fat, org, dirn, t_max, base: int, end: int,
 
 def _kernel8_fat_any_pipe(fat_ref, org_ref, dir_ref, tcut_ref,
                           occ_ref, fscr, nscr, lscr, nsem,
-                          *, base, end, leaf_size, k, max_iters):
+                          *, base, end, leaf_size, k, max_iters,
+                          mt_gate=False):
     """Any-hit fat-row kernel with software-pipelined DMA: the next
     iteration's one-cluster fetch starts before the MT unroll (descent
     and the packet-wide early exit use the PRE-leaf occlusion state —
@@ -676,8 +693,16 @@ def _kernel8_fat_any_pipe(fat_ref, org_ref, dir_ref, tcut_ref,
         def accept_any(occ_in, ok, tt, _slot, _uu, _vv):
             return jnp.maximum(occ_in, (ok & (tt < bt)).astype(jnp.int32))
 
-        occ = wk.packet_mt(lscr[:], leaf_size, leaf_ok, o3, d3, first,
-                           occ, accept_any)
+        if mt_gate:
+            lrow = lscr[:]
+            occ = jax.lax.cond(
+                jnp.any(leaf_ok),
+                lambda o: wk.packet_mt(lrow, leaf_size, leaf_ok, o3, d3,
+                                       first, o, accept_any),
+                lambda o: o, occ)
+        else:
+            occ = wk.packet_mt(lscr[:], leaf_size, leaf_ok, o3, d3, first,
+                               occ, accept_any)
         return new_cur, it + 1, occ
 
     cur0 = jnp.full((G, 1), base, jnp.int32)
@@ -691,9 +716,11 @@ def _kernel8_fat_any_pipe(fat_ref, org_ref, dir_ref, tcut_ref,
 def pallas_occluded_fat_pipe(fat, org, dirn, t_cut, base: int, end: int,
                              leaf_size: int, k: int,
                              max_iters: int | None = None,
-                             interpret: bool | None = None):
+                             interpret: bool | None = None,
+                             mt_gate: bool = False):
     """Any-hit query over a pack_fat table with pipelined DMA. Same
-    contract as hbm_kernel.pallas_occluded_hbm8_fat."""
+    contract as hbm_kernel.pallas_occluded_hbm8_fat. mt_gate skips the
+    MT unroll on no-group-at-leaf iterations."""
     if max_iters is None:
         max_iters = int(end) - int(base) + 2
     if interpret is None:
@@ -718,6 +745,7 @@ def pallas_occluded_fat_pipe(fat, org, dirn, t_cut, base: int, end: int,
     kern = functools.partial(
         _kernel8_fat_any_pipe, base=int(base), end=int(end),
         leaf_size=int(leaf_size), k=int(k), max_iters=int(max_iters),
+        mt_gate=bool(mt_gate),
     )
     ray_spec = pl.BlockSpec((3, tile), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
@@ -879,3 +907,229 @@ def pallas_traverse_ordered8(rows, leaf, org, dirn, t_max,
         interpret=interpret,
     )(rows, leaf, org_t, dir_t, tm2)
     return tuple(o[0, :r] for o in outs)
+
+
+def _kernel8_ord_fat_dual(fat_ref, org_ref, dir_ref, tmax_ref,
+                          t_ref, slot_ref, u_ref, v_ref,
+                          fscr, nscr, lscr, nsem,
+                          *, base, end, leaf_size, k, max_iters,
+                          mt_gate=False):
+    """DUAL-PACKET software-pipelined ordered fat kernel: two independent
+    (8, 128) packets interleaved in one program. The single-packet
+    pipelined kernel (_kernel8_ord_fat) hides each fat-row DMA behind
+    only its own Möller–Trumbore unroll (~500 VPU ops); at HBM latency
+    that shadow is too short, and the wait at the top of each iteration
+    still stalls. Here packet A's in-flight DMA is shadowed by A's MT
+    unroll PLUS packet B's entire phase (slab + descent + MT) and vice
+    versa — ~3x the latency budget per fetch, same single-DMA-cluster-
+    per-packet discipline (each packet owns its own 8 semaphores and
+    fat-pair scratch rows, so the two clusters never share a semaphore
+    or destination — the round-4 desync bisection condemned two clusters
+    racing the SAME buffers, hbm_kernel.py module docstring).
+
+    Traversal semantics per packet are identical to _kernel8_ord_fat
+    (near-to-far ordered stack, pre-leaf best-t descent)."""
+    G, L = 8, 128
+    o3s = [tuple(org_ref[a, s * L * G:(s + 1) * L * G].reshape(G, L)
+                 for a in range(3)) for s in range(2)]
+    d3s = [tuple(dir_ref[a, s * L * G:(s + 1) * L * G].reshape(G, L)
+                 for a in range(3)) for s in range(2)]
+    i3s = [tuple(wk.packet_safe_inv(d) for d in d3s[s]) for s in range(2)]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (G, L), 1)
+    sentinel = jnp.int32(end)
+
+    def start_fetch(s, cur):
+        j = jnp.minimum(cur, end - 1)
+        for g in range(G):
+            pltpu.make_async_copy(
+                fat_ref.at[pl.ds(2 * j[g, 0], 2)],
+                fscr.at[pl.ds(2 * (s * G + g), 2)],
+                nsem.at[s * G + g]).start()
+
+    def wait_fetch(s, cur):
+        j = jnp.minimum(cur, end - 1)
+        for g in range(G):
+            pltpu.make_async_copy(
+                fat_ref.at[pl.ds(2 * j[g, 0], 2)],
+                fscr.at[pl.ds(2 * (s * G + g), 2)],
+                nsem.at[s * G + g]).wait()
+
+    def phase(s, cur, stk, bt, bs, bu, bv):
+        """One traversal step for packet s; its next DMA is issued before
+        the MT unroll so the OTHER packet's phase runs in its shadow."""
+        o3, d3, i3 = o3s[s], d3s[s], i3s[s]
+        active = cur < end
+        wait_fetch(s, cur)
+        for g in range(G):
+            nscr[g, :] = fscr[2 * (s * G + g)]
+            lscr[g, :] = fscr[2 * (s * G + g) + 1]
+        nrow = nscr[:]
+        bits = jax.lax.bitcast_convert_type(nrow, jnp.int32)
+        first = bits[:, 6:7]
+        cnt = bits[:, 7:8] & 0xFF
+        is_leaf = cnt > 0
+
+        tmin, tmax = wk.packet_slab(nrow, 0, 3, o3, i3)
+        box_hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < bt) & active
+        leaf_ok = box_hit & is_leaf
+
+        # descent with the pre-leaf best-t (visits only grow; results
+        # identical — _kernel8_ord_fat pipelined-mode argument)
+        vote = box_hit & jnp.logical_not(is_leaf)
+        kc, ca, cidx = [], [], []
+        for c in range(k):
+            cb = 9 + 6 * c
+            ctmin, ctmax = wk.packet_slab(nrow, cb, cb + 3, o3, i3)
+            ci = bits[:, 9 + 6 * k + c:9 + 6 * k + c + 1]
+            chit = (
+                (ctmax >= jnp.maximum(ctmin, 0.0))
+                & (ctmin < bt) & vote & (ci > 0)
+            )
+            kk = jnp.min(jnp.where(chit, ctmin, vec.INF), axis=1,
+                         keepdims=True)
+            kc.append(kk)
+            ca.append(kk < vec.INF)
+            cidx.append(ci)
+
+        def push(stk, do, val):
+            rolled = pltpu.roll(stk, 1, 1)
+            inserted = jnp.where(lane == 0, val, rolled)
+            return jnp.where(do, inserted, stk)
+
+        bk = jnp.full((G, 1), vec.INF, jnp.float32)
+        bnear = jnp.full((G, 1), -1, jnp.int32)
+        bnearv = jnp.zeros((G, 1), jnp.int32)
+        for c in range(k):
+            better = ca[c] & (kc[c] < bk)
+            bk = jnp.where(better, kc[c], bk)
+            bnear = jnp.where(better, c, bnear)
+            bnearv = jnp.where(better, cidx[c], bnearv)
+        for c in range(k - 1, -1, -1):
+            stk = push(stk, ca[c] & (bnear != c), cidx[c])
+
+        nxt_ok = bnear >= 0
+        top = stk[:, 0:1]
+        popped = jnp.where(lane == L - 1, sentinel,
+                           pltpu.roll(stk, L - 1, 1))
+        stk = jnp.where(active & jnp.logical_not(nxt_ok), popped, stk)
+        new_cur = jnp.where(active, jnp.where(nxt_ok, bnearv, top), cur)
+
+        start_fetch(s, new_cur)
+        if mt_gate:
+            lrow = lscr[:]
+            bt, bs, bu, bv = jax.lax.cond(
+                jnp.any(leaf_ok),
+                lambda args: wk.packet_mt(
+                    lrow, leaf_size, leaf_ok, o3, d3, first,
+                    args, wk.accept_closest),
+                lambda args: args,
+                (bt, bs, bu, bv))
+        else:
+            bt, bs, bu, bv = wk.packet_mt(
+                lscr[:], leaf_size, leaf_ok, o3, d3, first,
+                (bt, bs, bu, bv), wk.accept_closest)
+        return new_cur, stk, bt, bs, bu, bv
+
+    def cond(s):
+        curA, curB = s[0], s[1]
+        it = s[2]
+        alive = jnp.logical_or(jnp.any(curA < end), jnp.any(curB < end))
+        return jnp.logical_and(alive, it < max_iters)
+
+    def body(s):
+        curA, curB, it, pA, pB = s
+        curA, *pA = phase(0, curA, pA[0], *pA[1:])
+        curB, *pB = phase(1, curB, pB[0], *pB[1:])
+        return curA, curB, it + 1, tuple(pA), tuple(pB)
+
+    t0 = tmax_ref[0, :].reshape(2, G, L)
+
+    def pinit(s):
+        return (
+            jnp.full((G, L), end, jnp.int32),        # stack
+            t0[s],                                   # best t
+            jnp.full((G, L), -1, jnp.int32),         # best slot
+            jnp.zeros((G, L), jnp.float32),          # u
+            jnp.zeros((G, L), jnp.float32),          # v
+        )
+
+    cur0 = jnp.full((G, 1), base, jnp.int32)
+    start_fetch(0, cur0)
+    start_fetch(1, cur0)
+    init = (cur0, cur0, jnp.int32(0), pinit(0), pinit(1))
+    curA, curB, _, pA, pB = jax.lax.while_loop(cond, body, init)
+    wait_fetch(0, curA)   # drain both in-flight DMAs
+    wait_fetch(1, curB)
+    bt = jnp.stack([pA[1], pB[1]]).reshape(2 * G * L)
+    bs = jnp.stack([pA[2], pB[2]]).reshape(2 * G * L)
+    bu = jnp.stack([pA[3], pB[3]]).reshape(2 * G * L)
+    bv = jnp.stack([pA[4], pB[4]]).reshape(2 * G * L)
+    t_ref[0, :] = jnp.where(bs >= 0, bt, vec.INF)
+    slot_ref[0, :] = bs
+    u_ref[0, :] = bu
+    v_ref[0, :] = bv
+
+
+def pallas_traverse_ordered8_fat_dual(fat, org, dirn, t_max,
+                                      base: int, end: int,
+                                      leaf_size: int, k: int,
+                                      max_iters: int | None = None,
+                                      interpret: bool | None = None,
+                                      mt_gate: bool = False):
+    """Closest-hit over a pack_fat table with the dual-packet pipelined
+    kernel (see _kernel8_ord_fat_dual). Same contract as
+    pallas_traverse_ordered8_fat."""
+    if max_iters is None:
+        max_iters = int(end) - int(base) + 2
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    tile = 2048
+    org = jax.lax.stop_gradient(org)
+    dirn = jax.lax.stop_gradient(dirn)
+    r = org.shape[0]
+    tm = jnp.broadcast_to(
+        jax.lax.stop_gradient(jnp.asarray(t_max, jnp.float32)), (r,)
+    )
+    pad = (-r) % tile
+    if pad:
+        org = jnp.concatenate([org, jnp.zeros((pad, 3), org.dtype)])
+        dirn = jnp.concatenate([dirn, jnp.ones((pad, 3), dirn.dtype)])
+        tm = jnp.concatenate([tm, jnp.full((pad,), -vec.INF, jnp.float32)])
+    rp = r + pad
+    n_tiles = rp // tile
+    org_t = org.T.reshape(3, rp)
+    dir_t = dirn.T.reshape(3, rp)
+    tm2 = tm.reshape(1, rp)
+    kern = functools.partial(
+        _kernel8_ord_fat_dual, base=int(base), end=int(end),
+        leaf_size=int(leaf_size), k=int(k), max_iters=int(max_iters),
+        mt_gate=bool(mt_gate),
+    )
+    out_shapes = (
+        jax.ShapeDtypeStruct((1, rp), jnp.float32),
+        jax.ShapeDtypeStruct((1, rp), jnp.int32),
+        jax.ShapeDtypeStruct((1, rp), jnp.float32),
+        jax.ShapeDtypeStruct((1, rp), jnp.float32),
+    )
+    ray_spec = pl.BlockSpec((3, tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    t, slot, u, v = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        out_shape=out_shapes,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            ray_spec, ray_spec, row_spec,
+        ],
+        out_specs=(row_spec, row_spec, row_spec, row_spec),
+        scratch_shapes=[
+            pltpu.VMEM((32, 128), jnp.float32),   # fat pairs, 2 packets
+            pltpu.VMEM((8, 128), jnp.float32),    # node rows (shared)
+            pltpu.VMEM((8, 128), jnp.float32),    # leaf rows (shared)
+            pltpu.SemaphoreType.DMA((16,)),
+        ],
+        interpret=interpret,
+    )(fat, org_t, dir_t, tm2)
+    return t[0, :r], slot[0, :r], u[0, :r], v[0, :r]

@@ -112,13 +112,22 @@ def run_raw(r=1 << 20, reps=4):
             return t.sum(), s.sum()
         return f
 
-    cands = [
+    all_cands = [
         ("fat-preorder", mk(hk.pallas_traverse_hbm8_fat)),
         ("ord-fat", mk(ok.pallas_traverse_ordered8_fat,
                        order_mode="near", pipelined=False)),
         ("ord-fat-pipe", mk(ok.pallas_traverse_ordered8_fat,
                             order_mode="near", pipelined=True)),
+        ("ord-fat-dual", mk(ok.pallas_traverse_ordered8_fat_dual)),
+        ("ord-fat-mtgate", mk(ok.pallas_traverse_ordered8_fat,
+                              order_mode="near", pipelined=True,
+                              mt_gate=True)),
+        ("ord-fat-dual-gate", mk(ok.pallas_traverse_ordered8_fat_dual,
+                                 mt_gate=True)),
     ]
+    only = os.environ.get("ORDFAT_ONLY", "")
+    cands = ([c for c in all_cands if c[0] in only.split(",")]
+             if only else all_cands)
     times = {n: [] for n, _ in cands}
     for label, rays in (("primaries", (org, dirn)),
                         ("bounce-sorted", (bo, bd))):

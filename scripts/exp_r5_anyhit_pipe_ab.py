@@ -51,6 +51,9 @@ cands = [
         fat, o, d, t, 0, end, ls, k).sum())),
     ("anyhit-pipe", jax.jit(lambda o, d, t: ok.pallas_occluded_fat_pipe(
         fat, o, d, t, 0, end, ls, k).sum())),
+    ("anyhit-pipe-gate", jax.jit(
+        lambda o, d, t: ok.pallas_occluded_fat_pipe(
+            fat, o, d, t, 0, end, ls, k, mt_gate=True).sum())),
 ]
 times = {n: [] for n, _ in cands}
 for rep in range(3):

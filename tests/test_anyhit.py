@@ -131,3 +131,54 @@ def test_fat_anyhit_matches_fat_closest_boolean():
     occ = hk.pallas_occluded_hbm8_fat(
         fat, org, d, t_cut, b0, e0, sp.max_leaf, sp.wide_k)
     np.testing.assert_array_equal(np.asarray(occ), np.asarray(t_ref) < 1e8)
+
+
+def test_fat_anyhit_pipe_mt_gate_matches():
+    """The pipelined any-hit kernel with the MT gate (production HBM
+    occlusion path) must agree with the ungated fat any-hit kernel."""
+    from ptsharp_tpu.pallas import hbm_kernel as hk
+    from ptsharp_tpu.pallas import ordered_kernel as ok
+
+    sp = _mesh_scene()
+    fat = jnp.asarray(hk.pack_fat(sp.p_rows, sp.p_leaf, sp.max_leaf))
+    org, d = _rays(512, seed=21)
+    rng = np.random.default_rng(9)
+    t_cut = jnp.asarray(
+        np.where(rng.random(512) < 0.1, -1.0,
+                 rng.uniform(0.2, 6.0, 512)).astype(np.float32))
+    b0, e0 = sp.p_inst_base[0], sp.p_inst_end[0]
+    ref = hk.pallas_occluded_hbm8_fat(
+        fat, org, d, t_cut, b0, e0, sp.max_leaf, sp.wide_k)
+    for gate in (False, True):
+        occ = ok.pallas_occluded_fat_pipe(
+            fat, org, d, t_cut, b0, e0, sp.max_leaf, sp.wide_k,
+            mt_gate=gate)
+        np.testing.assert_array_equal(np.asarray(occ), np.asarray(ref))
+
+
+def test_ordered_fat_mt_gate_and_dual_match():
+    """Round-5 closest-hit variants over a pack_fat table: the MT-gated
+    pipelined kernel (production) and the dual-packet kernel must return
+    identical (t, slot, u, v) to the preorder fat kernel."""
+    from ptsharp_tpu.pallas import hbm_kernel as hk
+    from ptsharp_tpu.pallas import ordered_kernel as ok
+
+    sp = _mesh_scene()
+    fat = jnp.asarray(hk.pack_fat(sp.p_rows, sp.p_leaf, sp.max_leaf))
+    org, d = _rays(3000, seed=23)   # non-multiple of 2048: dual padding
+    b0, e0 = sp.p_inst_base[0], sp.p_inst_end[0]
+    t0, s0, u0, v0 = hk.pallas_traverse_hbm8_fat(
+        fat, org, d, 1e9, b0, e0, sp.max_leaf, sp.wide_k)
+    t1, s1, u1, v1 = ok.pallas_traverse_ordered8_fat(
+        fat, org, d, 1e9, b0, e0, sp.max_leaf, sp.wide_k,
+        order_mode="near", pipelined=True, mt_gate=True)
+    t2, s2, u2, v2 = ok.pallas_traverse_ordered8_fat_dual(
+        fat, org, d, 1e9, b0, e0, sp.max_leaf, sp.wide_k, mt_gate=True)
+    for t, s, u, v in ((t1, s1, u1, v1), (t2, s2, u2, v2)):
+        np.testing.assert_allclose(np.asarray(t), np.asarray(t0),
+                                   atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(s), np.asarray(s0))
+        np.testing.assert_allclose(np.asarray(u), np.asarray(u0),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(v0),
+                                   atol=1e-4)
