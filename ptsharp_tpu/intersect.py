@@ -429,16 +429,21 @@ def closest_hit(scene: SceneData, org, dirn, t_max=None) -> Hit:
     n_inst = scene.inst_inv.shape[0]
     if not scene.use_tlas and n_inst > 0 and scene.intersector == "pallas" \
             and scene.p_flat:
-        if scene.p_hbm and scene.p_ordered:
+        if scene.p_ordered and (scene.p_hbm or scene.p_fat.shape[0]):
             # ordered-stack + pipelined-DMA fat kernel: +59% on sorted
             # bounce rays, ties coherent primaries (exp_ordfat.py).
             # mt_gate skips the MT unroll on no-group-at-leaf iterations
             # (+6% both shapes, exp_ordfat.py round-5; same gating the
-            # VMEM ordered kernel always had)
+            # VMEM ordered kernel always had). VMEM-scale scenes use the
+            # SAME kernel over scene.p_fat: the pipelined DMA beats the
+            # direct-VMEM ordered kernel on the bounce-ray wall (+19%,
+            # exp_r5_descgate.py) — the serial dynamic VMEM row loads
+            # were the bottleneck, not the HBM fetch.
             from ptsharp_tpu.pallas import ordered_kernel as okk
 
+            fat = scene.p_rows if scene.p_hbm else scene.p_fat
             t, kslot, u, v = okk.pallas_traverse_ordered8_fat(
-                scene.p_rows, org, dirn, best_t,
+                fat, org, dirn, best_t,
                 scene.p_inst_base[0], scene.p_inst_end[0],
                 scene.max_leaf, scene.wide_k,
                 order_mode="near", pipelined=True, mt_gate=True,
@@ -500,11 +505,13 @@ def closest_hit(scene: SceneData, org, dirn, t_max=None) -> Hit:
                     scene.u_inst_base[i], scene.u_inst_end[i], scene.max_leaf,
                 )
             elif scene.intersector == "pallas":
-                if scene.p_hbm and scene.p_ordered:
+                if scene.p_ordered and (scene.p_hbm
+                                        or scene.p_fat.shape[0]):
                     from ptsharp_tpu.pallas import ordered_kernel as okk
 
+                    fat = scene.p_rows if scene.p_hbm else scene.p_fat
                     t, slot, u, v = okk.pallas_traverse_ordered8_fat(
-                        scene.p_rows, o, d, best_t,
+                        fat, o, d, best_t,
                         scene.p_inst_base[i], scene.p_inst_end[i],
                         scene.max_leaf, scene.wide_k,
                         order_mode="near", pipelined=True, mt_gate=True,

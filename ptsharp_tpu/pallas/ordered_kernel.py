@@ -83,7 +83,7 @@ def max_stack_bound(rows: np.ndarray, k: int, base: int = 0,
 
 def _kernel8_ord(rows_ref, leaf_ref, org_ref, dir_ref, tmax_ref,
                  *refs, base, end, leaf_size, k, max_iters, order_mode,
-                 with_iters, defer_leaf=False):
+                 with_iters, defer_leaf=False, desc_gate=False):
     if with_iters:
         t_ref, slot_ref, u_ref, v_ref, it_ref, nscr, lscr = refs
     else:
@@ -169,66 +169,86 @@ def _kernel8_ord(rows_ref, leaf_ref, org_ref, dir_ref, tmax_ref,
 
         # --- per-child group keys: min over lanes of masked entry dist ----
         vote = box_hit & jnp.logical_not(is_leaf)   # lanes that may descend
-        kc = []     # (G, 1) f32 per child
-        ca = []     # (G, 1) bool per child (any lane hit)
-        cidx = []   # (G, 1) i32 per child
-        for c in range(k):
-            cb = 9 + 6 * c
-            ctmin, ctmax = wk.packet_slab(nrow, cb, cb + 3, o3, i3)
-            ci = bits[:, 9 + 6 * k + c:9 + 6 * k + c + 1]
-            chit = (
-                (ctmax >= jnp.maximum(ctmin, 0.0))
-                & (ctmin < bt) & vote & (ci > 0)
-            )
-            kk = jnp.min(jnp.where(chit, ctmin, vec.INF), axis=1,
-                         keepdims=True)
-            kc.append(kk)
-            ca.append(kk < vec.INF)
-            cidx.append(ci)
 
-        def push(stk, do, val):
-            rolled = pltpu.roll(stk, 1, 1)
-            inserted = jnp.where(lane == 0, val, rolled)
-            return jnp.where(do, inserted, stk)
+        def descend_full(stk):
+            kc = []     # (G, 1) f32 per child
+            ca = []     # (G, 1) bool per child (any lane hit)
+            cidx = []   # (G, 1) i32 per child
+            for c in range(k):
+                cb = 9 + 6 * c
+                ctmin, ctmax = wk.packet_slab(nrow, cb, cb + 3, o3, i3)
+                ci = bits[:, 9 + 6 * k + c:9 + 6 * k + c + 1]
+                chit = (
+                    (ctmax >= jnp.maximum(ctmin, 0.0))
+                    & (ctmin < bt) & vote & (ci > 0)
+                )
+                kk = jnp.min(jnp.where(chit, ctmin, vec.INF), axis=1,
+                             keepdims=True)
+                kc.append(kk)
+                ca.append(kk < vec.INF)
+                cidx.append(ci)
 
-        # nearest hit child becomes cur DIRECTLY (no push+pop round trip)
-        bk = jnp.full((G, 1), vec.INF, jnp.float32)
-        bnear = jnp.full((G, 1), -1, jnp.int32)
-        bnearv = jnp.zeros((G, 1), jnp.int32)
-        for c in range(k):
-            better = ca[c] & (kc[c] < bk)
-            bk = jnp.where(better, kc[c], bk)
-            bnear = jnp.where(better, c, bnear)
-            bnearv = jnp.where(better, cidx[c], bnearv)
+            def push(stk, do, val):
+                rolled = pltpu.roll(stk, 1, 1)
+                inserted = jnp.where(lane == 0, val, rolled)
+                return jnp.where(do, inserted, stk)
 
-        if order_mode == "full":
-            # remaining hit children selection-sorted: FARTHEST pushed
-            # first, so pops come off near-to-far
-            rem = [ca[c] & (bnear != c) for c in range(k)]
-            for _ in range(k - 1):
-                pk = jnp.full((G, 1), -vec.INF, jnp.float32)
-                pi = jnp.full((G, 1), -1, jnp.int32)
-                pv = jnp.zeros((G, 1), jnp.int32)
-                for c in range(k):
-                    better = rem[c] & (kc[c] >= pk)
-                    pk = jnp.where(better, kc[c], pk)
-                    pi = jnp.where(better, c, pi)
-                    pv = jnp.where(better, cidx[c], pv)
-                for c in range(k):
-                    rem[c] = rem[c] & (pi != c)
-                stk = push(stk, pi >= 0, pv)
+            # nearest hit child becomes cur DIRECTLY (no push+pop trip)
+            bk = jnp.full((G, 1), vec.INF, jnp.float32)
+            bnear = jnp.full((G, 1), -1, jnp.int32)
+            bnearv = jnp.zeros((G, 1), jnp.int32)
+            for c in range(k):
+                better = ca[c] & (kc[c] < bk)
+                bk = jnp.where(better, kc[c], bk)
+                bnear = jnp.where(better, c, bnear)
+                bnearv = jnp.where(better, cidx[c], bnearv)
+
+            if order_mode == "full":
+                # remaining hit children selection-sorted: FARTHEST
+                # pushed first, so pops come off near-to-far
+                rem = [ca[c] & (bnear != c) for c in range(k)]
+                for _ in range(k - 1):
+                    pk = jnp.full((G, 1), -vec.INF, jnp.float32)
+                    pi = jnp.full((G, 1), -1, jnp.int32)
+                    pv = jnp.zeros((G, 1), jnp.int32)
+                    for c in range(k):
+                        better = rem[c] & (kc[c] >= pk)
+                        pk = jnp.where(better, kc[c], pk)
+                        pi = jnp.where(better, c, pi)
+                        pv = jnp.where(better, cidx[c], pv)
+                    for c in range(k):
+                        rem[c] = rem[c] & (pi != c)
+                    stk = push(stk, pi >= 0, pv)
+            else:
+                # "near": remaining hit children pushed in static reverse
+                for c in range(k - 1, -1, -1):
+                    stk = push(stk, ca[c] & (bnear != c), cidx[c])
+
+            # descend to the nearest child, else pop the stack
+            nxt_ok = bnear >= 0
+            top = stk[:, 0:1]
+            # roll by L-1 == roll by -1 (pltpu.roll needs shift >= 0)
+            popped = jnp.where(lane == L - 1, sentinel,
+                               pltpu.roll(stk, L - 1, 1))
+            stk = jnp.where(active & jnp.logical_not(nxt_ok), popped, stk)
+            new_cur = jnp.where(active, jnp.where(nxt_ok, bnearv, top),
+                                cur)
+            return stk, new_cur
+
+        def descend_pop(stk):
+            # no group can descend: every active group pops
+            top = stk[:, 0:1]
+            popped = jnp.where(lane == L - 1, sentinel,
+                               pltpu.roll(stk, L - 1, 1))
+            stk = jnp.where(active, popped, stk)
+            new_cur = jnp.where(active, top, cur)
+            return stk, new_cur
+
+        if desc_gate:
+            stk, cur = jax.lax.cond(jnp.any(vote), descend_full,
+                                    descend_pop, stk)
         else:
-            # "near": remaining hit children pushed in static reverse order
-            for c in range(k - 1, -1, -1):
-                stk = push(stk, ca[c] & (bnear != c), cidx[c])
-
-        # descend to the nearest child, else pop the stack
-        nxt_ok = bnear >= 0
-        top = stk[:, 0:1]
-        # roll by L-1 == roll by -1 (pltpu.roll requires shift >= 0)
-        popped = jnp.where(lane == L - 1, sentinel, pltpu.roll(stk, L - 1, 1))
-        stk = jnp.where(active & jnp.logical_not(nxt_ok), popped, stk)
-        cur = jnp.where(active, jnp.where(nxt_ok, bnearv, top), cur)
+            stk, cur = descend_full(stk)
         if defer_leaf:
             return (cur, stk, it + 1, bt, bs, bu, bv, prow, pfirst, pmask)
         return cur, stk, it + 1, bt, bs, bu, bv
@@ -390,7 +410,7 @@ def _kernel8_ord_any(rows_ref, leaf_ref, org_ref, dir_ref, tcut_ref,
 def _kernel8_ord_fat(fat_ref, org_ref, dir_ref, tmax_ref,
                      t_ref, slot_ref, u_ref, v_ref, fscr, nscr, lscr, nsem,
                      *, base, end, leaf_size, k, max_iters, order_mode,
-                     pipelined, mt_gate=False):
+                     pipelined, mt_gate=False, desc_gate=False):
     """Ordered-stack traversal over a pack_fat HBM table: one (2, 128)
     DMA per group per iteration (the proven single-cluster discipline,
     hbm_kernel module docstring) delivering node row + leaf block.
@@ -450,59 +470,79 @@ def _kernel8_ord_fat(fat_ref, org_ref, dir_ref, tmax_ref,
 
         def descend_phase(stk, bt):
             vote = box_hit & jnp.logical_not(is_leaf)
-            kc, ca, cidx = [], [], []
-            for c in range(k):
-                cb = 9 + 6 * c
-                ctmin, ctmax = wk.packet_slab(nrow, cb, cb + 3, o3, i3)
-                ci = bits[:, 9 + 6 * k + c:9 + 6 * k + c + 1]
-                chit = (
-                    (ctmax >= jnp.maximum(ctmin, 0.0))
-                    & (ctmin < bt) & vote & (ci > 0)
-                )
-                kk = jnp.min(jnp.where(chit, ctmin, vec.INF), axis=1,
-                             keepdims=True)
-                kc.append(kk)
-                ca.append(kk < vec.INF)
-                cidx.append(ci)
 
-            def push(stk, do, val):
-                rolled = pltpu.roll(stk, 1, 1)
-                inserted = jnp.where(lane == 0, val, rolled)
-                return jnp.where(do, inserted, stk)
+            def full(stk):
+                kc, ca, cidx = [], [], []
+                for c in range(k):
+                    cb = 9 + 6 * c
+                    ctmin, ctmax = wk.packet_slab(nrow, cb, cb + 3, o3, i3)
+                    ci = bits[:, 9 + 6 * k + c:9 + 6 * k + c + 1]
+                    chit = (
+                        (ctmax >= jnp.maximum(ctmin, 0.0))
+                        & (ctmin < bt) & vote & (ci > 0)
+                    )
+                    kk = jnp.min(jnp.where(chit, ctmin, vec.INF), axis=1,
+                                 keepdims=True)
+                    kc.append(kk)
+                    ca.append(kk < vec.INF)
+                    cidx.append(ci)
 
-            bk = jnp.full((G, 1), vec.INF, jnp.float32)
-            bnear = jnp.full((G, 1), -1, jnp.int32)
-            bnearv = jnp.zeros((G, 1), jnp.int32)
-            for c in range(k):
-                better = ca[c] & (kc[c] < bk)
-                bk = jnp.where(better, kc[c], bk)
-                bnear = jnp.where(better, c, bnear)
-                bnearv = jnp.where(better, cidx[c], bnearv)
-            if order_mode == "full":
-                rem = [ca[c] & (bnear != c) for c in range(k)]
-                for _ in range(k - 1):
-                    pk = jnp.full((G, 1), -vec.INF, jnp.float32)
-                    pi = jnp.full((G, 1), -1, jnp.int32)
-                    pv = jnp.zeros((G, 1), jnp.int32)
-                    for c in range(k):
-                        better = rem[c] & (kc[c] >= pk)
-                        pk = jnp.where(better, kc[c], pk)
-                        pi = jnp.where(better, c, pi)
-                        pv = jnp.where(better, cidx[c], pv)
-                    for c in range(k):
-                        rem[c] = rem[c] & (pi != c)
-                    stk = push(stk, pi >= 0, pv)
-            else:
-                for c in range(k - 1, -1, -1):
-                    stk = push(stk, ca[c] & (bnear != c), cidx[c])
+                def push(stk, do, val):
+                    rolled = pltpu.roll(stk, 1, 1)
+                    inserted = jnp.where(lane == 0, val, rolled)
+                    return jnp.where(do, inserted, stk)
 
-            nxt_ok = bnear >= 0
-            top = stk[:, 0:1]
-            popped = jnp.where(lane == L - 1, sentinel,
-                               pltpu.roll(stk, L - 1, 1))
-            stk = jnp.where(active & jnp.logical_not(nxt_ok), popped, stk)
-            new_cur = jnp.where(active, jnp.where(nxt_ok, bnearv, top), cur)
-            return stk, new_cur
+                bk = jnp.full((G, 1), vec.INF, jnp.float32)
+                bnear = jnp.full((G, 1), -1, jnp.int32)
+                bnearv = jnp.zeros((G, 1), jnp.int32)
+                for c in range(k):
+                    better = ca[c] & (kc[c] < bk)
+                    bk = jnp.where(better, kc[c], bk)
+                    bnear = jnp.where(better, c, bnear)
+                    bnearv = jnp.where(better, cidx[c], bnearv)
+                if order_mode == "full":
+                    rem = [ca[c] & (bnear != c) for c in range(k)]
+                    for _ in range(k - 1):
+                        pk = jnp.full((G, 1), -vec.INF, jnp.float32)
+                        pi = jnp.full((G, 1), -1, jnp.int32)
+                        pv = jnp.zeros((G, 1), jnp.int32)
+                        for c in range(k):
+                            better = rem[c] & (kc[c] >= pk)
+                            pk = jnp.where(better, kc[c], pk)
+                            pi = jnp.where(better, c, pi)
+                            pv = jnp.where(better, cidx[c], pv)
+                        for c in range(k):
+                            rem[c] = rem[c] & (pi != c)
+                        stk = push(stk, pi >= 0, pv)
+                else:
+                    for c in range(k - 1, -1, -1):
+                        stk = push(stk, ca[c] & (bnear != c), cidx[c])
+
+                nxt_ok = bnear >= 0
+                top = stk[:, 0:1]
+                popped = jnp.where(lane == L - 1, sentinel,
+                                   pltpu.roll(stk, L - 1, 1))
+                stk = jnp.where(active & jnp.logical_not(nxt_ok), popped,
+                                stk)
+                new_cur = jnp.where(active,
+                                    jnp.where(nxt_ok, bnearv, top), cur)
+                return stk, new_cur
+
+            def pop_only(stk):
+                # no group can descend: every active group pops
+                top = stk[:, 0:1]
+                popped = jnp.where(lane == L - 1, sentinel,
+                                   pltpu.roll(stk, L - 1, 1))
+                stk = jnp.where(active, popped, stk)
+                new_cur = jnp.where(active, top, cur)
+                return stk, new_cur
+
+            if desc_gate:
+                # skip the k child slabs + ordering when NO group can
+                # descend (leaf/miss-only iterations — common bursts on
+                # coherent rays, the defer-leaf finding)
+                return jax.lax.cond(jnp.any(vote), full, pop_only, stk)
+            return full(stk)
 
         if pipelined:
             # descend with the pre-leaf bt, start the next DMA, THEN run
@@ -560,10 +600,12 @@ def pallas_traverse_ordered8_fat(fat, org, dirn, t_max, base: int, end: int,
                                  interpret: bool | None = None,
                                  order_mode: str = "near",
                                  pipelined: bool = True,
-                                 mt_gate: bool = False):
+                                 mt_gate: bool = False,
+                                 desc_gate: bool = False):
     """Closest-hit over a pack_fat table with ordered-stack traversal.
     Same contract as hbm_kernel.pallas_traverse_hbm8_fat. mt_gate skips
-    the MT unroll on no-group-at-leaf iterations (pipelined mode only)."""
+    the MT unroll on no-group-at-leaf iterations (pipelined mode only);
+    desc_gate skips the child slabs on no-group-can-descend iterations."""
     if max_iters is None:
         max_iters = int(end) - int(base) + 2
     if interpret is None:
@@ -589,7 +631,7 @@ def pallas_traverse_ordered8_fat(fat, org, dirn, t_max, base: int, end: int,
         _kernel8_ord_fat, base=int(base), end=int(end),
         leaf_size=int(leaf_size), k=int(k), max_iters=int(max_iters),
         order_mode=order_mode, pipelined=bool(pipelined),
-        mt_gate=bool(mt_gate),
+        mt_gate=bool(mt_gate), desc_gate=bool(desc_gate),
     )
     out_shapes = (
         jax.ShapeDtypeStruct((1, rp), jnp.float32),
@@ -837,14 +879,16 @@ def pallas_traverse_ordered8(rows, leaf, org, dirn, t_max,
                              interpret: bool | None = None,
                              order_mode: str = "full",
                              return_iters: bool = False,
-                             defer_leaf: bool = False):
+                             defer_leaf: bool = False,
+                             desc_gate: bool = False):
     """Closest-hit over [base, end) wide rows with near-to-far ordered
     stack traversal. Same contract (tables, results, slot space) as
     pallas_traverse_wide8. order_mode: "full" = selection-sorted push
     order, "near" = nearest-first + static-order push (cheaper per
     iteration, weaker ordering). defer_leaf batches pending leaves
     across groups so the MT unroll fires per collision instead of per
-    any-group-at-leaf iteration (identical results)."""
+    any-group-at-leaf iteration (identical results). desc_gate skips
+    the child slabs on iterations where no group can descend."""
     if max_iters is None:
         max_iters = int(end) - int(base) + 2
     if interpret is None:
@@ -871,7 +915,7 @@ def pallas_traverse_ordered8(rows, leaf, org, dirn, t_max,
         _kernel8_ord, base=int(base), end=int(end),
         leaf_size=int(leaf_size), k=int(k), max_iters=int(max_iters),
         order_mode=order_mode, with_iters=bool(return_iters),
-        defer_leaf=bool(defer_leaf),
+        defer_leaf=bool(defer_leaf), desc_gate=bool(desc_gate),
     )
     out_shapes = [
         jax.ShapeDtypeStruct((1, rp), jnp.float32),

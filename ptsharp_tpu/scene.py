@@ -58,7 +58,7 @@ _DATA_FIELDS = [
     "u_bmin", "u_bmax", "u_first", "u_count", "u_kind", "u_skip",
     "u_rows", "leaf_rows",
     "w_rows", "w_inst_base", "w_inst_end",
-    "p_rows", "p_leaf", "p_slot_tri", "p_slot_inst",
+    "p_rows", "p_leaf", "p_fat", "p_slot_tri", "p_slot_inst",
     "cluster_bmin", "cluster_bmax", "cluster_rows",
     "inst_cluster_base", "inst_cluster_end",
     "u_inst_base", "u_inst_end",
@@ -163,6 +163,12 @@ class SceneData:
     # one 128-lane VMEM row (pallas/wide_kernel.py). Empty otherwise.
     p_rows: jnp.ndarray        # (Nw, 128)
     p_leaf: jnp.ndarray        # (NL, 128)
+    # fat [node; leaf-block] interleave for VMEM-scale scenes too: the
+    # pipelined-DMA fat kernel beats the direct-VMEM ordered kernel on
+    # the bounce-ray wall shape (+19%, scripts/exp_r5_descgate.py), so
+    # closest-hit prefers it whenever a fat table exists. Empty when the
+    # tables already ARE fat (p_hbm: p_rows holds the fat interleave).
+    p_fat: jnp.ndarray         # (2*Nw, 128) or (0, 128)
     # flat-table slot maps (p_flat): kernel leaf slot -> scene triangle
     # slot / instance id (-1 = padding). Empty in per-instance mode.
     p_slot_tri: jnp.ndarray    # (NL * leaf_size,) i32
@@ -822,9 +828,19 @@ class SceneBuilder:
 
                 p_rows = pack_fat(p_rows, p_leaf, leaf_size)
                 p_leaf = np.zeros((0, 128), np.float32)
+                p_fat = np.zeros((0, 128), np.float32)
+            else:
+                # VMEM-scale scenes carry BOTH table forms: p_rows/p_leaf
+                # feed the VMEM any-hit kernels, the fat interleave feeds
+                # the pipelined-DMA closest-hit (measured +19% on bounce
+                # rays over direct VMEM loads, exp_r5_descgate.py)
+                from ptsharp_tpu.pallas.hbm_kernel import pack_fat
+
+                p_fat = pack_fat(p_rows, p_leaf, leaf_size)
         else:
             p_rows = np.zeros((0, 128), np.float32)
             p_leaf = np.zeros((0, 128), np.float32)
+            p_fat = np.zeros((0, 128), np.float32)
             p_inst_b = ()
             p_inst_e = ()
         w_inst_b = np.asarray(
@@ -976,6 +992,7 @@ class SceneBuilder:
             w_inst_end=jnp.asarray(w_inst_e),
             p_rows=jnp.asarray(p_rows),
             p_leaf=jnp.asarray(p_leaf),
+            p_fat=jnp.asarray(p_fat),
             p_slot_tri=jnp.asarray(p_slot_tri),
             p_slot_inst=jnp.asarray(p_slot_inst),
             cluster_bmin=jnp.asarray(cl_bmin),

@@ -124,6 +124,9 @@ def run_raw(r=1 << 20, reps=4):
                               mt_gate=True)),
         ("ord-fat-dual-gate", mk(ok.pallas_traverse_ordered8_fat_dual,
                                  mt_gate=True)),
+        ("ord-fat-bothgate", mk(ok.pallas_traverse_ordered8_fat,
+                                order_mode="near", pipelined=True,
+                                mt_gate=True, desc_gate=True)),
     ]
     only = os.environ.get("ORDFAT_ONLY", "")
     cands = ([c for c in all_cands if c[0] in only.split(",")]

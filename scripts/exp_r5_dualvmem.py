@@ -83,6 +83,13 @@ def main(r=1 << 18, reps=5):
         return t.sum(), s.sum()
 
     @jax.jit
+    def f_fat_gate(ft, o, d):
+        t, s, _, _ = ok.pallas_traverse_ordered8_fat(
+            ft, o, d, 1e9, 0, end, ls, k, order_mode="near",
+            pipelined=True, mt_gate=True)
+        return t.sum(), s.sum()
+
+    @jax.jit
     def f_fat_dual(ft, o, d):
         t, s, _, _ = ok.pallas_traverse_ordered8_fat_dual(
             ft, o, d, 1e9, 0, end, ls, k)
@@ -91,6 +98,7 @@ def main(r=1 << 18, reps=5):
     cands = [
         ("ord-vmem (prod)", lambda o, d: f_vmem(o, d)),
         ("ord-fat-pipe", lambda o, d: f_fat_pipe(fat, o, d)),
+        ("ord-fat-gate", lambda o, d: f_fat_gate(fat, o, d)),
         ("ord-fat-dual", lambda o, d: f_fat_dual(fat, o, d)),
     ]
     for label, (o, d) in (("primaries", (org, dirn)),
